@@ -1,0 +1,134 @@
+"""Extraction stage: pages(url, warc_ts, html, text, lang, kind) → docs.
+
+Spark-first restatement of the reference's ingest→light pipeline
+(extract_worker.py:90-213 dispatch; light_worker.py:110-426 normalize/lang/
+quality): one Arrow-batched ``mapInPandas`` pass — format dispatch, byte
+decode, tag strip, normalize, language, quality — with per-row error capture
+(the quarantine contract of extract_worker.py:202-213: a failing row yields
+success=False + error message, never a task failure).
+
+No per-row Python crosses the JVM boundary: the plan has exactly one
+PythonMapInArrow node; everything upstream/downstream is native.
+
+The ``_part_id``/``_batch_ms`` side-channel columns feed the per-partition
+audit table and are dropped from the public docs output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..reference_impl.eml import extract_eml
+from ..reference_impl.htmlstrip import strip_html
+from ..reference_impl.normalize import assess_quality, detect_language, normalize_text
+from ..reference_impl.pdfmini import extract_pdf_text
+from ..reference_impl.textdecode import decode_text_bytes
+from ..schemas import DOCS_SCHEMA
+
+
+def sniff_kind(payload: bytes | None, declared: str | None) -> str:
+    """Payload-kind dispatch mirroring the reference's file-type classifier
+    (arkham-shard-ingest/.../classifiers/file_type.py:71-105), content-based
+    because a WARC row has no filename."""
+    if declared:
+        return declared
+    if payload is None:
+        return "text"
+    head = payload[:2048]
+    if head.startswith(b"%PDF-"):
+        return "pdf"
+    lowered = head.lstrip()[:256].lower()
+    if lowered.startswith(b"<!doctype") or lowered.startswith(b"<html") or b"<body" in head.lower():
+        return "html"
+    if head.startswith(b"From:") or b"\r\nSubject:" in head or b"\nSubject:" in head:
+        return "eml"
+    return "text"
+
+
+def extract_one(payload: bytes | None, pre_text: str | None, kind: str | None) -> dict:
+    """Single-document extraction; pure function shared by tests and the UDF."""
+    error = None
+    raw_text = ""
+    n_pages = 1
+    try:
+        if payload is None:
+            if pre_text is None:
+                raise ValueError("row has neither html payload nor text")
+            raw_text = pre_text
+        else:
+            k = sniff_kind(payload, kind)
+            if k == "pdf":
+                raw_text, n_pages = extract_pdf_text(payload)
+            elif k == "html":
+                decoded, _ = decode_text_bytes(payload)
+                raw_text = strip_html(decoded)
+            elif k == "eml":
+                raw_text, n_pages = extract_eml(payload)
+            else:
+                raw_text, n_pages = decode_text_bytes(payload)
+    except Exception as exc:  # quarantine contract
+        return {
+            "extracted_text": "",
+            "lang": "unknown",
+            "lang_conf": 0.0,
+            "quality_score": 0.0,
+            "quality_issues": ["extraction_error"],
+            "word_count": 0,
+            "n_pages": 0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+
+    normalized, _changes = normalize_text(raw_text)
+    lang, lang_conf = detect_language(normalized)
+    quality = assess_quality(normalized)
+    return {
+        "extracted_text": normalized,
+        "lang": lang,
+        "lang_conf": lang_conf,
+        "quality_score": float(quality["score"]),
+        "quality_issues": quality["issues"],
+        "word_count": int(quality["word_count"]),
+        "n_pages": int(n_pages),
+        "error": error,
+    }
+
+
+def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    part_id = ctx.partitionId() if ctx else -1
+
+    for pdf in it:
+        t0 = time.perf_counter()
+        recs = []
+        payloads = pdf["html"].tolist()
+        pre_texts = pdf["text"].tolist()
+        kinds = pdf["kind"].tolist() if "kind" in pdf.columns else [None] * len(pdf)
+        for payload, pre, kind in zip(payloads, pre_texts, kinds):
+            payload = bytes(payload) if payload is not None else None
+            rec = extract_one(payload, pre, kind)
+            basis = payload if payload is not None else (pre or "").encode("utf-8")
+            rec["checksum"] = hashlib.sha256(basis).hexdigest()
+            recs.append(rec)
+        elapsed_ms = (time.perf_counter() - t0) * 1000.0
+        out = pd.DataFrame(recs)
+        out.insert(0, "url", pdf["url"].values)
+        out.insert(1, "warc_ts", pdf["warc_ts"].values)
+        out["_part_id"] = part_id
+        out["_batch_ms"] = elapsed_ms / max(1, len(out))
+        yield out[[f.name for f in DOCS_SCHEMA.fields]]
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages → docs (audit side-channel columns included; see pipeline.py)."""
+    cols = ["url", "warc_ts", "html", "text"]
+    if "kind" in pages.columns:
+        cols.append("kind")
+    return pages.select(*cols).mapInPandas(_batches, DOCS_SCHEMA)

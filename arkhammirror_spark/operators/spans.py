@@ -1,0 +1,107 @@
+"""Span-extraction stage: docs → mentions / dates / relations / chunks / claims.
+
+Each derived table is one ``mapInPandas`` pass over (url, extracted_text)
+applying the corresponding reference_impl oracle function per document inside
+the Arrow batch, exploding to rows in-batch (pandas), so the Spark plan stays
+a single Python node per table with native exchanges around it.
+
+Reference lineage: parse shard orchestration (arkham_shard_parse/shard.py:
+286-344) runs NER → dates → relations → chunks per page; here each family is
+an independent column-pruned branch off the cached docs DataFrame, letting
+Spark schedule them in parallel instead of sequentially per document.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..reference_impl.chunker import chunk_fixed, chunk_sentences
+from ..reference_impl.claims import extract_claims
+from ..reference_impl.dates import extract_iso_dates, extract_relative_dates
+from ..reference_impl.ner import mock_ner
+from ..reference_impl.relations import extract_relations
+from ..schemas import CHUNK_STRUCT, CLAIM_STRUCT, DATE_STRUCT, MENTION_STRUCT, REL_STRUCT
+
+
+def _keyed_schema(struct: StructType) -> StructType:
+    return StructType([StructField("url", StringType(), False)] + list(struct.fields))
+
+
+def _explode_per_doc(
+    docs: DataFrame, fn: Callable[[str], list[dict]], struct: StructType
+) -> DataFrame:
+    schema = _keyed_schema(struct)
+    names = [f.name for f in schema.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list[dict] = []
+            for url, text in zip(pdf["url"].tolist(), pdf["extracted_text"].tolist()):
+                if not text:
+                    continue
+                for rec in fn(text):
+                    rec = dict(rec)
+                    rec["url"] = url
+                    out_rows.append(rec)
+            if out_rows:
+                out = pd.DataFrame(out_rows)
+                if "normalized_date" in out.columns:
+                    out["normalized_date"] = pd.to_datetime(
+                        out["normalized_date"], utc=True
+                    )
+                yield out[names]
+            else:
+                yield pd.DataFrame({n: pd.Series(dtype="object") for n in names})
+
+    return docs.select("url", "extracted_text").mapInPandas(_run, schema)
+
+
+def extract_mentions(docs: DataFrame) -> DataFrame:
+    """Mock-NER mentions (ner.py:94-143 semantics)."""
+    return _explode_per_doc(docs, mock_ner, MENTION_STRUCT)
+
+
+def extract_dates(docs: DataFrame, include_relative: bool = True) -> DataFrame:
+    """ISO + relative date mentions (dates.py:94-160)."""
+
+    def _fn(text: str) -> list[dict]:
+        out = extract_iso_dates(text)
+        if include_relative:
+            out = out + extract_relative_dates(text)
+        return out
+
+    return _explode_per_doc(docs, _fn, DATE_STRUCT)
+
+
+def extract_rels(docs: DataFrame) -> DataFrame:
+    """Pairwise relations over mock-NER mentions (relations.py:62-142)."""
+
+    def _fn(text: str) -> list[dict]:
+        return extract_relations(text, mock_ner(text))
+
+    return _explode_per_doc(docs, _fn, REL_STRUCT)
+
+
+def extract_chunks(
+    docs: DataFrame,
+    method: str = "sentence",
+    chunk_size: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Chunking (chunker.py:64-197); parse-shard defaults method=sentence/500/50."""
+    chunker = chunk_sentences if method == "sentence" else chunk_fixed
+
+    def _fn(text: str) -> list[dict]:
+        return chunker(text, chunk_size=chunk_size, overlap=overlap)
+
+    return _explode_per_doc(docs, _fn, CHUNK_STRUCT)
+
+
+def extract_claims_df(docs: DataFrame) -> DataFrame:
+    """Rule-based claims (claims/shard.py:300-374)."""
+    return _explode_per_doc(docs, extract_claims, CLAIM_STRUCT)

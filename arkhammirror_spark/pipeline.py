@@ -1,0 +1,169 @@
+"""End-to-end extraction pipeline: pages → docs → spans → entities → edges,
+with explicit partitioning, skew salting, per-partition audit, and
+snapshot-checkpoint resume.
+
+The reference's six event-driven hops (ingest → queue → worker → parse →
+entities → graph; SURVEY.md §3.1) fuse into one declarative DAG; the job
+queue's SKIP-LOCKED work distribution becomes hash partitioning; retries
+become the error/quarantine column; per-job lineage rows become the audit
+table.
+
+Scale design (the 100 TB story):
+- input is repartitioned by xxhash64(url) before the extract UDF: uniform
+  work distribution no matter how skewed the host mix is, and a stable
+  partitioning the downstream doc-keyed join can reuse;
+- host-level statistics (used for skew detection itself) run as a salted
+  two-phase aggregation so a 30%-of-corpus mega-host can't hot-spot a reducer;
+- column pruning: the UDF sees only (url, warc_ts, html, text, kind); the
+  audit pass aggregates the side-channel columns before the public write;
+- resume: the committed docs snapshots' url sets are anti-joined against the
+  input — already-extracted urls are never re-extracted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import ParquetSnapshotCatalog
+from .operators.edges import comention_edges
+from .operators.entities import aggregate_entities, filter_valid_mentions
+from .operators.extract import extract_docs
+from .operators.spans import (
+    extract_chunks,
+    extract_claims_df,
+    extract_dates,
+    extract_mentions,
+    extract_rels,
+)
+from .schemas import AUDIT_SCHEMA
+
+
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
+
+
+def host_col(url):
+    return F.regexp_extract(url, HOST_RE, 1)
+
+
+def partition_pages(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Uniform url-hash repartition (north rule: partition by url hash)."""
+    return pages.repartition(num_partitions, F.xxhash64(F.col("url")))
+
+
+def salted_host_stats(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-host page counts via salted two-phase aggregation.
+
+    Any direct groupBy(host) hot-spots on the mega-host at scale; salting the
+    key into `salt_buckets` shards makes the first (heavy) aggregation uniform
+    and the second one tiny (hosts × buckets rows).
+    """
+    salted = pages.select(
+        host_col(F.col("url")).alias("host"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).alias("_salt"),
+    )
+    partial = salted.groupBy("host", "_salt").agg(F.count(F.lit(1)).alias("n"))
+    return partial.groupBy("host").agg(F.sum("n").alias("n_pages"))
+
+
+def detect_heavy_hosts(pages: DataFrame, threshold_fraction: float = 0.05) -> list[str]:
+    """Hosts owning more than `threshold_fraction` of the corpus (broadcastable)."""
+    stats = salted_host_stats(pages)
+    total = pages.count()
+    rows = stats.where(F.col("n_pages") >= total * threshold_fraction).collect()
+    return [r["host"] for r in rows]
+
+
+@dataclass
+class PipelineResult:
+    snapshot_id: str
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    audit: DataFrame | None = None
+    stats: dict = field(default_factory=dict)
+
+
+def _audit_from_docs(docs_raw: DataFrame, snapshot_id: str) -> DataFrame:
+    return (
+        docs_raw.groupBy(F.col("_part_id").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("output_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+            F.sum(F.col("_batch_ms")).alias("wall_ms"),
+        )
+        .withColumn("stage", F.lit("extract"))
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .select([f.name for f in AUDIT_SCHEMA.fields])
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    with_spans: bool = True,
+    min_edge_count: int = 2,
+    snapshot_id: str | None = None,
+) -> PipelineResult:
+    """Run the extraction DAG; when `out_dir` is set, commit snapshots + audit
+    and honor resume-from-checkpoint."""
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    snapshot_id = snapshot_id or hashlib.sha256(
+        f"{time.time_ns()}".encode()
+    ).hexdigest()[:16]
+
+    catalog = ParquetSnapshotCatalog(out_dir) if out_dir else None
+    stats: dict = {}
+
+    if catalog and resume:
+        done = catalog.read_table(spark, "docs")
+        if done is not None:
+            # AQE converts this to a broadcast anti-join when the committed
+            # url set is small; at 10^12 scale it stays a shuffle anti-join
+            # co-partitioned with the url-hash repartition below.
+            pages = pages.join(done.select("url").distinct(), "url", "left_anti")
+
+    pages = partition_pages(pages, num_partitions)
+
+    docs_raw = extract_docs(pages)
+    docs_raw = docs_raw.persist()
+
+    audit = _audit_from_docs(docs_raw, snapshot_id)
+    docs = docs_raw.drop("_part_id", "_batch_ms")
+
+    tables: dict[str, DataFrame] = {"docs": docs}
+
+    if with_spans:
+        clean = docs.where(F.col("error").isNull())
+        mentions = extract_mentions(clean)
+        tables["mentions"] = mentions
+        tables["dates"] = extract_dates(clean)
+        tables["rels"] = extract_rels(clean)
+        tables["chunks"] = extract_chunks(clean)
+        tables["claims"] = extract_claims_df(clean)
+
+        valid = filter_valid_mentions(mentions)
+        tables["entities"] = aggregate_entities(valid)
+        tables["edges"] = comention_edges(valid, min_count=min_edge_count)
+
+    if catalog:
+        for name, df in tables.items():
+            catalog.write_snapshot(df, name, snapshot_id)
+        catalog.write_snapshot(audit, "audit", snapshot_id)
+        docs_raw.unpersist()
+        # re-read what we just wrote so downstream consumers see committed data
+        tables = {
+            name: catalog.read_table(spark, name) for name in tables  # type: ignore[misc]
+        }
+
+    return PipelineResult(
+        snapshot_id=snapshot_id, tables=tables, audit=audit, stats=stats
+    )

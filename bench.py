@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the
+extraction-pipeline docs/sec throughput on a deterministic synthetic pages
+table. Prints ONE JSON line.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  SPARK_GRAFT_PAGES    synthetic pages rows for the pipeline bench
+                       (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
+
+    from arkhammirror_spark.session import get_spark
+
+    spark = get_spark(
+        "arkhammirror-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    from arkhammirror_spark.queries import QUERIES
+    from arkhammirror_spark.datagen import gen_pages_df
+    from arkhammirror_spark.pipeline import run_pipeline
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # extraction pipeline throughput (the authoritative BASELINE metric)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cache")
+    pages_path = os.path.join(cache_dir, f"pages_{n_pages}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        gen_pages_df(spark, n_pages, seed=42).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    out_dir = os.path.join(cache_dir, "bench_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, pages, out_dir=out_dir, num_partitions=cpus * 2)
+    n_docs = res.tables["docs"].count()
+    pipeline_sec = time.perf_counter() - t0
+    timings["extraction_pipeline"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_docs / pipeline_sec, 1)
+
+    total = round(time.perf_counter() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "docs_per_sec": docs_per_sec,
+                "pipeline_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""End-to-end Spark pipeline tests: byte-identity vs the oracle, audit
+reconciliation, checkpoint resume, and plan hygiene."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arkhammirror_spark.datagen import gen_pages_df, gen_pages_pandas
+from arkhammirror_spark.operators.extract import extract_one
+from arkhammirror_spark.operators.entities import (
+    filter_valid_mentions,
+    valid_entity_col,
+)
+from arkhammirror_spark.pipeline import (
+    detect_heavy_hosts,
+    run_pipeline,
+    salted_host_stats,
+)
+from arkhammirror_spark.reference_impl import is_valid_entity, mock_ner
+
+N_ROWS = 300
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return gen_pages_df(spark, N_ROWS, seed=SEED).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("snap"))
+    return run_pipeline(spark, pages, out_dir=out, num_partitions=8), out
+
+
+class TestExtractByteIdentity:
+    def test_extracted_text_matches_oracle_per_url(self, spark, pages, result):
+        res, _ = result
+        got = {
+            r["url"]: (r["extracted_text"], r["lang"], r["error"])
+            for r in res.tables["docs"].collect()
+        }
+        src = gen_pages_pandas(N_ROWS, seed=SEED)
+        assert len(got) == N_ROWS
+        mismatches = []
+        for _, row in src.iterrows():
+            payload = bytes(row["html"]) if row["html"] is not None else None
+            oracle = extract_one(payload, row["text"], row["kind"])
+            g = got[row["url"]]
+            if g[0] != oracle["extracted_text"]:
+                mismatches.append(row["url"])
+        assert mismatches == []
+
+    def test_poison_rows_quarantined_not_fatal(self, result):
+        res, _ = result
+        docs = res.tables["docs"]
+        errs = docs.where(F.col("error").isNotNull())
+        assert errs.count() > 0  # datagen plants truncated PDFs
+        assert docs.count() == N_ROWS  # nothing dropped, nothing crashed
+
+    def test_duplicates_share_checksum(self, result):
+        res, _ = result
+        docs = res.tables["docs"]
+        dup = (
+            docs.groupBy("checksum")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        assert dup.count() > 0  # datagen plants exact duplicates
+
+
+class TestSpans:
+    def test_mentions_match_oracle(self, spark, result):
+        res, _ = result
+        docs = {r["url"]: r["extracted_text"] for r in res.tables["docs"].collect()}
+        got = {}
+        for r in res.tables["mentions"].collect():
+            got.setdefault(r["url"], []).append(r["text"])
+        for url, text in docs.items():
+            expected = [m["text"] for m in mock_ner(text)] if text else []
+            assert sorted(got.get(url, [])) == sorted(expected), url
+
+    def test_chunk_roundtrip(self, result):
+        res, _ = result
+        chunks = res.tables["chunks"]
+        # chunk indices are dense per url
+        w = (
+            chunks.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("chunk_index").alias("mx"))
+            .where(F.col("n") != F.col("mx") + 1)
+        )
+        assert w.count() == 0
+
+
+class TestEntityFilterNativeParity:
+    def test_native_filter_equals_python(self, spark, result):
+        res, _ = result
+        rows = res.tables["mentions"].select("text", "entity_type").distinct().collect()
+        sdf = spark.createDataFrame(rows)
+        kept_native = {
+            (r["text"], r["entity_type"])
+            for r in sdf.where(valid_entity_col(F.col("text"), F.col("entity_type"))).collect()
+        }
+        kept_python = {
+            (r["text"], r["entity_type"])
+            for r in rows
+            if is_valid_entity(r["text"], r["entity_type"])
+        }
+        assert kept_native == kept_python
+
+
+class TestEdges:
+    def test_edge_semantics_small_case(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "url": ["d1", "d1", "d2", "d2", "d3", "d3", "d3"],
+                "text": ["Acme Corp", "John Smith", "Acme Corp", "John Smith",
+                         "Acme Corp", "John Smith", "Acme Corp"],
+                "entity_type": ["ORG"] * 7,
+                "start_char": [0] * 7,
+                "end_char": [0] * 7,
+                "confidence": [0.5] * 7,
+            }
+        )
+        from arkhammirror_spark.operators.edges import comention_edges
+
+        edges = comention_edges(spark.createDataFrame(pdf), min_count=2).collect()
+        assert len(edges) == 1
+        e = edges[0]
+        assert (e["entity_a"], e["entity_b"]) == ("acme corp", "john smith")
+        assert e["co_occurrence_count"] == 3
+        assert e["document_ids"] == ["d1", "d2", "d3"]
+        assert abs(e["weight"] - 0.3) < 1e-12
+
+
+class TestAuditAndResume:
+    def test_audit_reconciles(self, result):
+        res, _ = result
+        audit = res.audit.collect()
+        assert sum(r["input_rows"] for r in audit) == N_ROWS
+        docs = res.tables["docs"]
+        ok = docs.where(F.col("error").isNull()).count()
+        bad = docs.where(F.col("error").isNotNull()).count()
+        assert sum(r["output_rows"] for r in audit) == ok
+        assert sum(r["error_rows"] for r in audit) == bad
+        assert all(r["wall_ms"] >= 0 for r in audit)
+
+    def test_resume_skips_committed_urls(self, spark, pages, result):
+        res, out = result
+        # second run over the same input: everything already committed
+        res2 = run_pipeline(spark, pages, out_dir=out, num_partitions=8)
+        audit2 = res2.audit.collect()
+        assert sum(r["input_rows"] for r in audit2) == 0
+        # but the union view still exposes all N_ROWS docs
+        assert res2.tables["docs"].select("url").distinct().count() == N_ROWS
+
+
+class TestSkewHandling:
+    def test_salted_host_stats_match_plain_groupby(self, spark, pages):
+        salted = {r["host"]: r["n_pages"] for r in salted_host_stats(pages).collect()}
+        from arkhammirror_spark.pipeline import host_col
+
+        plain = {
+            r["host"]: r["n"]
+            for r in pages.select(host_col(F.col("url")).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert salted == plain
+
+    def test_mega_host_detected(self, spark, pages):
+        heavy = detect_heavy_hosts(pages, threshold_fraction=0.10)
+        assert "mega-portal.example" in heavy
+
+
+class TestPlanHygiene:
+    def test_single_python_node_in_extract_plan(self, spark, pages):
+        from arkhammirror_spark.operators.extract import extract_docs
+
+        plan = extract_docs(pages)._jdf.queryExecution().executedPlan().toString()
+        # exactly one Arrow/Python map node; no row-at-a-time BatchEvalPython
+        assert "BatchEvalPython" not in plan
+
+    def test_docs_scan_prunes_columns(self, spark, tmp_path):
+        # write pages, read back, extract: the parquet scan must not read `lang`
+        p = str(tmp_path / "pages")
+        gen_pages_df(spark, 50, seed=1).write.parquet(p)
+        from arkhammirror_spark.operators.extract import extract_docs
+
+        df = extract_docs(spark.read.parquet(p))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lang" not in plan.split("ReadSchema")[-1][:400]
