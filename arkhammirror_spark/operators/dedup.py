@@ -1,0 +1,277 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Beyond the reference's checksum dedup (intake.py:146-179 ≡ exact_dedup),
+these are the standard web-corpus near-dup family, built Spark-native:
+
+- exact_dedup       : sha256 groupBy, keep min-key representative.
+- shingles          : word n-gram shingle sets (explode-based).
+- minhash_signatures: K independent permutation-min hashes over shingles —
+  computed with ONE aggregation: explode shingles, hash once with xxhash64,
+  then per (doc) aggregate min((a_k*h+b_k) mod p) for all K via native
+  array expressions (no UDF, no K-fold explode).
+- lsh_candidate_pairs: band the K minhashes into B bands of R rows,
+  groupBy(band hash) → pairs within bucket — the classic MinHash-LSH join.
+- verified_neardup_pairs: LSH candidates filtered by exact Jaccard
+  (computed on the shingle sets) ≥ threshold. With B=32,R=4 the miss
+  probability at J≥0.8 is (1−0.8⁴)³² ≈ 5e−8, so output = brute-force truth
+  with overwhelming probability at a fraction of the cost.
+- simhash64 / simhash_neardup: 64-bit SimHash over tokens + Hamming-ball
+  pairing via bit_count(xor).
+- ngram_jaccard_pairs: exact brute-force Jaccard via shared-shingle join
+  (the small-scale oracle for the LSH path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime 2^61-1: (a*h+b) stays within int64*small products' range
+# using Python-style modular arithmetic on 64-bit hashes mapped to [0, p).
+_P = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the K permutation hashes."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def exact_dedup(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Checksum dedup (intake.py:146-179): one keeper per identical payload."""
+    return df.groupBy(F.sha2(F.col(key_col), 256).alias("checksum")).agg(
+        F.min(id_col).alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document — native (split + transform)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    ).where(F.length("shingle") > 0)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", k: int = 128, seed: int = 7
+) -> DataFrame:
+    """K-element minhash signature per doc from a (id, shingle) frame.
+
+    One pass: h = xxhash64(shingle) folded into [0, p); each of the K
+    functions is min over (a*h + b) mod p, computed as K aggregate exprs —
+    map-side partial min keeps the shuffle at K longs per doc.
+    """
+    params = _hash_params(k, seed)
+    h = (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
+    base = sh.select(F.col(id_col), h)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), bnd * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) pairs from the shingle frame."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+        )
+    )
+
+
+def verified_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, id_col, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    out = jaccard_for_pairs(cands, sh, id_col).where(
+        F.col("jaccard") >= threshold
+    ).select("id_a", "id_b", "jaccard")
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Brute-force exact Jaccard pairs via shared-shingle join (oracle path)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word tokens, fully native.
+
+    For each of the 64 bits: sum(+1/−1 weighted by token hash bit) > 0.
+    Implemented as 64 aggregate expressions over exploded tokens.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Hamming-≤k pairs via 4-band SimHash blocking (pigeonhole: any pair
+    within Hamming 3 shares at least one of four 16-bit bands)."""
+    sigs = simhash64(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -26,24 +26,42 @@ def comention_edges(
     doc_col: str = "url",
     min_count: int = 2,
     limit: int | None = 1000,
+    include_doc_ids: bool = True,
 ) -> DataFrame:
-    pairs = mentions.select(
-        F.col(doc_col).alias("doc"), F.lower(F.col("text")).alias("name")
-    ).distinct()
+    # Join-free formulation of the reference SQL: first aggregate each doc's
+    # DISTINCT entity names into one sorted array (one shuffle, map-side
+    # combinable), then explode the i<j combinations natively. Output is
+    # identical to the self-join + COUNT(DISTINCT) form — each (a, b, doc)
+    # appears exactly once, so count(*) ≡ COUNT(DISTINCT doc) — but the plan
+    # has two shuffles instead of four and no join at all. Per-doc entity
+    # counts are bounded (documents are bounded size), so the combination
+    # explosion is O(m²) with small m, inside one task.
+    per_doc = mentions.groupBy(F.col(doc_col).alias("doc")).agg(
+        F.sort_array(F.collect_set(F.lower(F.col("text")))).alias("names")
+    )
+    n = F.size("names")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("names"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("names"), i).alias("entity_a"),
+                    y.alias("entity_b"),
+                ),
+            ),
+        )
+    )
+    exploded = per_doc.where(n >= 2).select(
+        "doc", F.explode(pair_structs).alias("p")
+    ).select("doc", "p.entity_a", "p.entity_b")
 
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    aggs = [F.count(F.lit(1)).alias("co_occurrence_count")]
+    if include_doc_ids:
+        aggs.append(F.sort_array(F.collect_list(F.col("doc"))).alias("document_ids"))
     edges = (
-        a.join(b, F.col("a.doc") == F.col("b.doc"))
-        .where(F.col("a.name") < F.col("b.name"))
-        .groupBy(
-            F.col("a.name").alias("entity_a"),
-            F.col("b.name").alias("entity_b"),
-        )
-        .agg(
-            F.countDistinct(F.col("a.doc")).alias("co_occurrence_count"),
-            F.sort_array(F.collect_set(F.col("a.doc"))).alias("document_ids"),
-        )
+        exploded.groupBy("entity_a", "entity_b")
+        .agg(*aggs)
         .where(F.col("co_occurrence_count") >= min_count)
         .withColumn(
             "weight",

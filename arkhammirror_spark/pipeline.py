@@ -36,7 +36,6 @@ from .operators.spans import (
     extract_chunks,
     extract_claims_df,
     extract_dates,
-    extract_mentions,
     extract_rels,
 )
 from .schemas import AUDIT_SCHEMA
@@ -109,6 +108,7 @@ def run_pipeline(
     with_spans: bool = True,
     min_edge_count: int = 2,
     snapshot_id: str | None = None,
+    edge_doc_ids: bool = False,
 ) -> PipelineResult:
     """Run the extraction DAG; when `out_dir` is set, commit snapshots + audit
     and honor resume-from-checkpoint."""
@@ -133,17 +133,22 @@ def run_pipeline(
 
     pages = partition_pages(pages, num_partitions)
 
-    docs_raw = extract_docs(pages)
+    # mock-NER is fused into the extract pass (one Arrow trip for the text)
+    docs_raw = extract_docs(pages, include_mentions=with_spans)
     docs_raw = docs_raw.persist()
 
     audit = _audit_from_docs(docs_raw, snapshot_id)
-    docs = docs_raw.drop("_part_id", "_batch_ms")
+    docs = docs_raw.drop("_part_id", "_batch_ms", "_mentions")
 
     tables: dict[str, DataFrame] = {"docs": docs}
 
     if with_spans:
         clean = docs.where(F.col("error").isNull())
-        mentions = extract_mentions(clean)
+        mentions = (
+            docs_raw.where(F.col("error").isNull())
+            .select("url", F.explode("_mentions").alias("m"))
+            .select("url", "m.*")
+        )
         tables["mentions"] = mentions
         tables["dates"] = extract_dates(clean)
         tables["rels"] = extract_rels(clean)
@@ -152,7 +157,12 @@ def run_pipeline(
 
         valid = filter_valid_mentions(mentions)
         tables["entities"] = aggregate_entities(valid)
-        tables["edges"] = comention_edges(valid, min_count=min_edge_count)
+        # document_ids arrays are opt-in: at 10^12-doc scale an unbounded
+        # ARRAY_AGG per edge is a memory hazard; the (doc, entity) mapping is
+        # already materialized in the mentions table.
+        tables["edges"] = comention_edges(
+            valid, min_count=min_edge_count, include_doc_ids=edge_doc_ids
+        )
 
     if catalog:
         for name, df in tables.items():

@@ -200,9 +200,9 @@ def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("PERSON").alias("entity_type"),
     )
     valid = filter_valid_mentions(m)
-    return comention_edges(valid, doc_col="doc_id", min_count=2, limit=1000).select(
-        "entity_a", "entity_b", "co_occurrence_count", "weight"
-    )
+    return comention_edges(
+        valid, doc_col="doc_id", min_count=2, limit=1000, include_doc_ids=False
+    ).select("entity_a", "entity_b", "co_occurrence_count", "weight")
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,20 @@ DOCS_SCHEMA = StructType(
     ]
 )
 
+MENTION_STRUCT_FIELDS = [
+    StructField("text", StringType(), False),
+    StructField("entity_type", StringType(), False),
+    StructField("start_char", IntegerType(), False),
+    StructField("end_char", IntegerType(), False),
+    StructField("confidence", DoubleType(), False),
+]
+
+# docs + fused mock-NER mentions (extract_docs(include_mentions=True))
+DOCS_MENTIONS_SCHEMA = StructType(
+    list(DOCS_SCHEMA.fields)
+    + [StructField("_mentions", ArrayType(StructType(MENTION_STRUCT_FIELDS)), True)]
+)
+
 CHUNK_STRUCT = StructType(
     [
         StructField("text", StringType(), False),

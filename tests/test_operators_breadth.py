@@ -1,0 +1,206 @@
+"""Tests for search / anomalies / dedup / similarity operators."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from arkhammirror_spark.operators.anomalies import embedding_anomalies, zscore_anomalies
+from arkhammirror_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_neardup,
+    verified_neardup_pairs,
+)
+from arkhammirror_spark.operators.search import (
+    autocomplete,
+    bm25_scores,
+    hybrid_merge,
+    hybrid_weights,
+    regex_search,
+    tokenize_col,
+)
+from arkhammirror_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+    pairwise_cosine_above,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick quick quick brown foxes everywhere today"),
+        (3, "a completely unrelated sentence about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "the quick brown fox jumps over the lazy cat today ok"),  # near dup
+        (6, "email me at john.smith@example.com or call 555-123-4567 now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+class TestBM25:
+    def test_reference_formula(self, spark, docs):
+        res = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["quick"]).collect()}
+        # doc 2 has tf=3 → highest raw score → normalized 1.0
+        assert res[2] == 1.0
+        assert all(0 < v <= 1.0 for v in res.values())
+        # manual check of the RSJ idf + bm25 for doc 2
+        # corpus: 6 docs; 'quick' appears in docs 1,2,4,5 → df=4
+        toks = {
+            1: ["quick", "brown", "fox", "jumps", "over", "lazy", "dog"],
+            2: ["quick", "quick", "quick", "brown", "foxes", "everywhere", "today"],
+            3: ["completely", "unrelated", "sentence", "about", "spark", "engines"],
+            4: ["quick", "brown", "fox", "jumps", "over", "lazy", "dog"],
+            5: ["quick", "brown", "fox", "jumps", "over", "lazy", "cat", "today", "ok"],
+            6: ["email", "me", "john", "smith", "example", "com", "call", "555", "123", "4567", "now"],
+        }
+        avg = sum(len(v) for v in toks.values()) / 6
+        idf = math.log((6 - 4 + 0.5) / (4 + 0.5) + 1)
+
+        def bm25(tf, dl):
+            return idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avg))
+
+        expected = {d: bm25(toks[d].count("quick"), len(toks[d])) for d in (1, 2, 4, 5)}
+        mx = max(expected.values())
+        for d in (1, 2, 4, 5):
+            assert abs(res[d] - expected[d] / mx) < 1e-9
+
+    def test_stopwords_and_short_tokens_dropped(self, spark, docs):
+        got = docs.select(tokenize_col(F.col("text")).alias("t")).where(
+            F.col("doc_id").isNull() | True
+        ).collect()
+        flat = [t for r in got for t in r["t"]]
+        assert "the" not in flat  # stopword
+        assert all(len(t) > 1 for t in flat)
+
+
+class TestRegexHybrid:
+    def test_presets(self, spark, docs):
+        emails = regex_search(docs, preset="email").collect()
+        assert emails[0]["match_text"] == "john.smith@example.com"
+        phones = regex_search(docs, preset="phone_us").collect()
+        assert phones[0]["match_text"] == "555-123-4567"
+
+    def test_hybrid_weights(self):
+        assert hybrid_weights(384) == (0.5, 0.5)
+        assert hybrid_weights(768) == (0.6, 0.4)
+        assert hybrid_weights(2048) == (0.7, 0.3)
+        assert hybrid_weights(None) == (0.6, 0.4)
+
+    def test_hybrid_merge_full_outer(self, spark):
+        sem = spark.createDataFrame([(1, 0.9), (2, 0.5)], "doc_id: long, score: double")
+        kw = spark.createDataFrame([(2, 1.0), (3, 0.4)], "doc_id: long, score: double")
+        got = {r["doc_id"]: r["hybrid_score"] for r in hybrid_merge(sem, kw, dimensions=768).collect()}
+        assert abs(got[1] - 0.9 * 0.6) < 1e-12
+        assert abs(got[2] - (0.5 * 0.6 + 1.0 * 0.4)) < 1e-12
+        assert abs(got[3] - 0.4 * 0.4) < 1e-12
+
+    def test_autocomplete(self, spark, docs):
+        got = autocomplete(docs, "the quick").collect()
+        assert len(got) == 3  # docs 1, 4, 5 share the prefix
+
+
+class TestAnomalies:
+    def test_zscore_flags_outlier(self, spark):
+        rows = [(i, 100.0) for i in range(30)] + [(99, 500.0)]
+        df = spark.createDataFrame(rows, "doc_id: long, n_chars: double")
+        got = zscore_anomalies(df, ["n_chars"], threshold=3.0).collect()
+        assert [r["doc_id"] for r in got] == [99]
+        r = got[0]
+        import statistics
+
+        vals = [100.0] * 30 + [500.0]
+        z = abs((500 - statistics.mean(vals)) / statistics.stdev(vals))
+        assert abs(r["z_score"] - z) < 1e-9
+        assert r["confidence"] == min(1.0, z / 5.0)
+
+    def test_embedding_outlier(self, spark):
+        rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)] + [(99, [-5.0, 8.0, 2.0])]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        got = embedding_anomalies(df, threshold=3.0).collect()
+        assert [r["vec_id"] for r in got] == [99]
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        groups = exact_dedup(docs, "text", "doc_id").collect()
+        dup = [g for g in groups if g["n_copies"] > 1]
+        assert len(dup) == 1
+        assert dup[0]["member_ids"] == [1, 4]
+        assert dup[0]["keeper"] == 1
+
+    def test_shingles_match_python(self, spark, docs):
+        got = shingles(docs.where("doc_id = 1"), n=3).collect()
+        text = "the quick brown fox jumps over the lazy dog"
+        words = text.split()
+        expected = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        assert {r["shingle"] for r in got} == expected
+
+    def test_exact_jaccard_pairs(self, spark, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.99).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 4)}
+        assert pairs[0]["jaccard"] == 1.0
+
+    def test_lsh_verified_equals_bruteforce(self, spark, docs):
+        thr = 0.5
+        lsh = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in verified_neardup_pairs(docs, threshold=thr).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(docs, threshold=thr).collect()
+        }
+        assert lsh == brute
+        assert (1, 4) in lsh
+
+    def test_minhash_identical_docs_identical_sigs(self, spark, docs):
+        sh = shingles(docs, n=3)
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(sh, k=32).collect()}
+        assert sigs[1] == sigs[4]
+        assert sigs[1] != sigs[3]
+
+    def test_simhash_dup_and_neardup(self, spark, docs):
+        sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+        assert sims[1] == sims[4]
+        pairs = simhash_neardup(docs, max_hamming=0).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(1, 4)}
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+        # plant a clone of vec 0
+        rows.append((900, [x * 1.001 for x in rows[0][1]]))
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>").cache()
+
+    def test_brute_force_finds_clone(self, spark, emb):
+        qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+        top = brute_force_topk(emb.where("vec_id <> 0"), qv, k=3).collect()
+        assert top[0]["vec_id"] == 900
+        assert top[0]["score"] > 0.999
+
+    def test_lsh_recall_vs_bruteforce(self, spark, emb):
+        qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+        pool = emb.where("vec_id <> 0")
+        brute = [r["vec_id"] for r in brute_force_topk(pool, qv, k=5).collect()]
+        ann = [r["vec_id"] for r in lsh_bucket_topk(pool, qv, k=5, n_planes=8).collect()]
+        # the clone must be recalled; overall recall@5 ≥ 2/5 for the bucketed probe
+        assert ann and ann[0] == 900
+        assert len(set(brute) & set(ann)) >= 2
+
+    def test_pairwise_cosine(self, spark, emb):
+        pairs = pairwise_cosine_above(emb, 0.999, n_planes=6).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 900)}
