@@ -25,9 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Mersenne prime 2^61-1: (a*h+b) stays within int64*small products' range
-# using Python-style modular arithmetic on 64-bit hashes mapped to [0, p).
-_P = (1 << 61) - 1
+# Mersenne prime 2^31-1: with h, a, b all in [0, p), the product h*a is
+# < 2^62, safely inside int64 — ANSI-mode sessions (Spark 4 default) would
+# throw ARITHMETIC_OVERFLOW on anything wider.
+_P = (1 << 31) - 1
 
 
 def _hash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:

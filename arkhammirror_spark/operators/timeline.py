@@ -46,6 +46,15 @@ def _month_map_col():
     return F.create_map(*[F.lit(x) for kv in _MONTH_NUM.items() for x in kv])
 
 
+def _safe_date(yr, mon, day):
+    """ANSI-safe date construction: invalid Gregorian combos → NULL (the
+    reference skips them via ValueError; make_date would THROW under Spark
+    4's default ANSI mode, and try_make_date isn't exposed in this build)."""
+    return F.try_to_timestamp(
+        F.format_string("%04d-%02d-%02d", yr, mon, day), F.lit("yyyy-MM-dd")
+    ).cast("date")
+
+
 def _extract_family(docs, id_col, text_col, pattern, kind, conf, builder):
     hits = docs.select(
         F.col(id_col),
@@ -74,19 +83,19 @@ def extract_timeline_events(
         yr = F.regexp_extract(t, ISO_PAT, 1).cast("int")
         mon = F.regexp_extract(t, ISO_PAT, 2).cast("int")
         day = F.regexp_extract(t, ISO_PAT, 3).cast("int")
-        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+        return _safe_date(yr, mon, day)
 
     def mdy_builder(t):
         mon = mm.getItem(F.lower(F.regexp_extract(t, MDY_PAT, 1)))
         day = F.regexp_extract(t, MDY_PAT, 2).cast("int")
         yr = F.regexp_extract(t, MDY_PAT, 3).cast("int")
-        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+        return _safe_date(yr, mon, day)
 
     def dmy_builder(t):
         day = F.regexp_extract(t, DMY_PAT, 1).cast("int")
         mon = mm.getItem(F.lower(F.regexp_extract(t, DMY_PAT, 2)))
         yr = F.regexp_extract(t, DMY_PAT, 3).cast("int")
-        return F.try_make_date(yr, mon, day) if hasattr(F, "try_make_date") else F.make_date(yr, mon, day)
+        return _safe_date(yr, mon, day)
 
     def quarter_builder(t):
         qmap = F.create_map(*[F.lit(x) for kv in _QUARTER_NUM.items() for x in kv])

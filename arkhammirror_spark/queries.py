@@ -699,3 +699,12 @@ SELECT vec_id, round(cos_raw, 4) AS cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
 }
+
+
+# merge the extended registry (search / near-dup / simhash / anomalies /
+# timeline / relations); import at module bottom so queries_ext can import
+# the shared helpers above without a circular-init problem
+from .queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_EXT)

@@ -1,0 +1,477 @@
+"""Extended driver-contract queries: search, near-dup, simhash, anomalies,
+timeline, relations — each with an exact DuckDB oracle.
+
+Near-dup queries synthesize a duplicate-rich derived corpus (anchor-join:
+every block of 10 docs shares the anchor doc's text plus a small per-doc
+marker), because the driver's word-soup corpus has no natural near-dups;
+the derivation is identical SQL/DataFrame logic on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from .operators.anomalies import zscore_anomalies
+from .operators.dedup import ngram_jaccard_pairs, verified_neardup_pairs
+from .operators.timeline import extract_timeline_events
+from .queries import _cased_spark, _cased_sql, _load
+from .reference_impl.ner import mock_ner
+from .reference_impl.relations import extract_relations
+
+BM25_TERMS = ["customer", "spark", "window"]
+_STOP = (
+    "'a','an','and','are','as','at','be','by','for','from','has','he','in','is','it',"
+    "'its','of','on','or','that','the','to','was','were','will','with','this','they',"
+    "'but','have','had','what','when','where','who','which'"
+)
+
+
+# --- near-dup derived corpus (anchor-join), identical on both engines -------
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = d.select(
+        F.col("doc_id").alias("anchor_id"), F.col("text").alias("anchor_text")
+    )
+    return (
+        d.withColumn("anchor_id", F.col("doc_id") - F.col("doc_id") % 10)
+        .join(anchors, "anchor_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("anchor_text"),
+                F.format_string(" marker%d tail", (F.col("doc_id") % 3).cast("int")),
+            ).alias("text"),
+        )
+    )
+
+
+_NEARDUP_CTE = """
+WITH nd AS (
+  SELECT d.doc_id,
+         a.text || printf(' marker%d tail', (d.doc_id % 3)::INT) AS text
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM nd)
+  WHERE len(ws) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       s.n_shared::DOUBLE / (sa.sz + sb.sz - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE s.n_shared::DOUBLE / (sa.sz + sb.sz - s.n_shared) >= {thr}
+"""
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_neardup_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + exact-Jaccard verification; equals brute force with miss
+    probability (1−0.8⁴)³² ≈ 5e−8 per true pair, so the brute-force SQL is a
+    valid oracle."""
+    return verified_neardup_pairs(_neardup_docs(spark, sf_dir), threshold=0.8)
+
+
+# --- reference-faithful BM25 (keyword.py quirks preserved) -------------------
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the reference engine's exact corpus-stat quirks
+    (keyword.py:166-213, 294-338): avgdl = AVG(LENGTH(text)) in CHARS over
+    all docs; doc_freq(term) = COUNT docs with substring match; doc_length =
+    filtered-token count; skip score < 0.01; normalize by max."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    toks = F.filter(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), F.lit(0)),
+        lambda t: (F.length(t) > 1)
+        & ~t.isin(
+            *[s.strip("'") for s in _STOP.split(",")]
+        ),
+    )
+    base = docs.select("doc_id", F.col("text"), toks.alias("tokens"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length("text")).alias("avg_len"),
+    )
+    dfreq = None
+    for term in BM25_TERMS:
+        part = base.agg(
+            F.lit(term).alias("term"),
+            F.sum(
+                F.when(F.lower(F.col("text")).contains(term), 1).otherwise(0)
+            ).alias("doc_freq"),
+        )
+        dfreq = part if dfreq is None else dfreq.unionAll(part)
+
+    tf = (
+        base.select("doc_id", F.size("tokens").cast("double").alias("doc_len"),
+                    F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf") * (F.col("tf") * 2.5)
+            / (F.col("tf") + 1.5 * (1 - 0.75 + 0.75 * F.col("doc_len") / F.col("avg_len"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("raw"))
+        .where(F.col("raw") >= 0.01)
+    )
+    mx = scored.agg(F.max("raw").alias("mx"))
+    return scored.crossJoin(F.broadcast(mx)).select(
+        "doc_id", F.round(F.col("raw") / F.col("mx"), 6).alias("score")
+    )
+
+
+_BM25_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(lower(text), '\\w+'),
+                     t -> length(t) > 1 AND t NOT IN ({_STOP})) AS tokens
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(length(text)) AS avg_len FROM base),
+dfreq AS (
+  SELECT t.term, (SELECT count(*) FROM base WHERE contains(lower(text), t.term)) AS doc_freq
+  FROM (SELECT unnest({BM25_TERMS!r}) AS term) t
+),
+tf AS (
+  SELECT doc_id, len(tokens)::DOUBLE AS doc_len, u.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(tokens) AS term) u
+  WHERE u.term IN (SELECT term FROM dfreq)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT doc_id,
+         sum(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
+             * (tf * 2.5)
+             / (tf + 1.5 * (1 - 0.75 + 0.75 * doc_len / avg_len))) AS raw
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY 1
+  HAVING raw >= 0.01
+)
+SELECT doc_id, round(raw / (SELECT max(raw) FROM scored), 6) AS score FROM scored
+"""
+
+
+# --- simhash (md5 token hash so both engines agree) --------------------------
+
+N_SIMHASH_BITS = 16  # demo width: 16 md5-derived bits (operator supports 64)
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(N_SIMHASH_BITS)
+    ]
+    per = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return per.select("doc_id", sim.alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok,
+         ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+       LATERAL (SELECT unnest(ws) AS tok) u
+  WHERE length(u.tok) > 0
+),
+bits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, {N_SIMHASH_BITS - 1})) AS i) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1
+"""
+
+
+# --- anomalies / timeline / relations / red flags ---------------------------
+
+
+def q_zscore_len_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    out = zscore_anomalies(docs, ["n_chars"], threshold=1.5)
+    return out.select(
+        "doc_id", "metric", F.round("z_score", 4).alias("z_score"), "severity"
+    )
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS s FROM documents
+)
+SELECT doc_id, 'n_chars' AS metric,
+       round(abs((n_chars::DOUBLE - m) / s), 4) AS z_score,
+       CASE WHEN abs((n_chars::DOUBLE - m) / s) > 4.0 THEN 'high'
+            WHEN abs((n_chars::DOUBLE - m) / s) > 3.0 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM documents, stats
+WHERE s > 0 AND abs((n_chars::DOUBLE - m) / s) > 1.5
+"""
+
+_TL_PHRASES = [
+    "signed on 2024-01-15 ok",
+    "during the third quarter of 2023",
+    "in summer 2019 mostly",
+    "back in the 1990s era",
+    "met January 15, 2024 again",
+]
+
+
+def q_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phr = F.array(*[F.lit(p) for p in _TL_PHRASES])
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "), F.element_at(phr, (F.col("doc_id") % 5 + 1).cast("int"))
+        ).alias("t"),
+    )
+    ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
+    return ev.select("doc_id", "date_text", "date_start", "event_kind", "confidence")
+
+
+_TIMELINE_SQL = """
+WITH t AS (
+  SELECT doc_id, text || ' ' ||
+    CASE doc_id % 5
+      WHEN 0 THEN 'signed on 2024-01-15 ok'
+      WHEN 1 THEN 'during the third quarter of 2023'
+      WHEN 2 THEN 'in summer 2019 mostly'
+      WHEN 3 THEN 'back in the 1990s era'
+      ELSE 'met January 15, 2024 again' END AS t
+  FROM documents
+),
+iso AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '\\b(\\d{4})-(\\d{1,2})-(\\d{1,2})(?:T(\\d{1,2}):(\\d{1,2}):(\\d{1,2}))?\\b')) AS date_text
+  FROM t
+),
+iso_ok AS (
+  SELECT doc_id, date_text,
+         try_cast(make_date(
+           regexp_extract(date_text, '^(\\d{4})', 1)::INT,
+           regexp_extract(date_text, '^\\d{4}-(\\d{1,2})', 1)::INT,
+           regexp_extract(date_text, '^\\d{4}-\\d{1,2}-(\\d{1,2})', 1)::INT) AS DATE) AS date_start,
+         'iso' AS event_kind, 0.99::DOUBLE AS confidence
+  FROM iso
+),
+mdy AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '(?i)\\b(January|February|March|April|May|June|July|August|September|October|November|December|Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec)\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})\\b')) AS date_text
+  FROM t
+),
+month_map AS (
+  SELECT * FROM (VALUES
+    ('january',1),('jan',1),('february',2),('feb',2),('march',3),('mar',3),
+    ('april',4),('apr',4),('may',5),('june',6),('jun',6),('july',7),('jul',7),
+    ('august',8),('aug',8),('september',9),('sep',9),('sept',9),
+    ('october',10),('oct',10),('november',11),('nov',11),('december',12),('dec',12)
+  ) AS m(name, num)
+),
+mdy_ok AS (
+  SELECT doc_id, date_text,
+         make_date(
+           regexp_extract(date_text, '(\\d{4})\\b', 1)::INT,
+           (SELECT num FROM month_map WHERE name = lower(regexp_extract(date_text, '(?i)^([A-Za-z]+)', 1))),
+           regexp_extract(date_text, '\\s(\\d{1,2})', 1)::INT) AS date_start,
+         'natural_mdy' AS event_kind, 0.95::DOUBLE AS confidence
+  FROM mdy
+),
+qtr AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '(?i)\\b(Q[1-4]|first|second|third|fourth)\\s+quarter\\s+(?:of\\s+)?(\\d{4})\\b')) AS date_text
+  FROM t
+),
+qtr_ok AS (
+  SELECT doc_id, date_text,
+         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT,
+           (CASE lower(regexp_extract(date_text, '(?i)^(Q[1-4]|first|second|third|fourth)', 1))
+              WHEN 'q1' THEN 1 WHEN 'first' THEN 1 WHEN 'q2' THEN 2 WHEN 'second' THEN 2
+              WHEN 'q3' THEN 3 WHEN 'third' THEN 3 ELSE 4 END - 1) * 3 + 1,
+           1) AS date_start,
+         'quarter' AS event_kind, 0.9::DOUBLE AS confidence
+  FROM qtr
+),
+ssn AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '(?i)\\b(spring|summer|fall|autumn|winter)\\s+(?:of\\s+)?(\\d{4})\\b')) AS date_text
+  FROM t
+),
+ssn_ok AS (
+  SELECT doc_id, date_text,
+         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT,
+           CASE lower(regexp_extract(date_text, '(?i)^(spring|summer|fall|autumn|winter)', 1))
+             WHEN 'spring' THEN 3 WHEN 'summer' THEN 6 WHEN 'fall' THEN 9
+             WHEN 'autumn' THEN 9 ELSE 12 END,
+           1) AS date_start,
+         'season' AS event_kind, 0.85::DOUBLE AS confidence
+  FROM ssn
+),
+dec_ AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '(?i)\\b(?:the\\s+)?(\\d{4})s\\b')) AS date_text
+  FROM t
+),
+dec_ok AS (
+  SELECT doc_id, date_text,
+         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT, 1, 1) AS date_start,
+         'decade' AS event_kind, 0.7::DOUBLE AS confidence
+  FROM dec_
+)
+SELECT * FROM iso_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM mdy_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM qtr_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM ssn_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM dec_ok WHERE date_start IS NOT NULL
+"""
+
+
+def q_relations_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 relations on the mock-NER path: degenerate 0/0 offsets → every
+    mention pair in document order becomes co_occurrence conf 0.5
+    (relations.py:108-121 arithmetic)."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", _cased_spark(F.col("text")).alias("t")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("source_text", StringType(), False),
+            StructField("target_text", StringType(), False),
+            StructField("relation_type", StringType(), False),
+            StructField("confidence", DoubleType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                rels = extract_relations(t or "", mock_ner(t or ""))
+                for r in rels:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "source_text": r["source_text"],
+                            "target_text": r["target_text"],
+                            "relation_type": r["relation_type"],
+                            "confidence": r["confidence"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(_run, schema)
+
+
+def q_red_flag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 pattern scan (detector.py:211-319 rlike heuristics) with flags from
+    the corpus vocabulary."""
+    docs = _load(spark, sf_dir, "documents")
+    pat = r"\b(slow|merge|vector)\b"
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_flags"),
+        (n > 3).alias("flagged"),
+    )
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_search": q_bm25_search,
+    "neardup_jaccard": q_neardup_jaccard,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "zscore_len_anomaly": q_zscore_len_anomaly,
+    "timeline_events": q_timeline_events,
+    "relations_cooccur": q_relations_cooccur,
+    "red_flag_scan": q_red_flag_scan,
+}
+
+ORACLE_EXT: dict[str, str] = {
+    "bm25_search": _BM25_SQL,
+    "neardup_jaccard": _NEARDUP_CTE.format(thr=0.8),
+    "minhash_lsh_neardup": _NEARDUP_CTE.format(thr=0.8),
+    "simhash_fingerprint": _SIMHASH_SQL,
+    "zscore_len_anomaly": _ZSCORE_SQL,
+    "timeline_events": _TIMELINE_SQL,
+    "red_flag_scan": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\b(slow|merge|vector)\\b'))::BIGINT AS n_flags,
+       len(regexp_extract_all(text, '\\b(slow|merge|vector)\\b')) > 3 AS flagged
+FROM documents
+""",
+    "relations_cooccur": None,  # filled below (needs the mentions islands CTE)
+}
+
+# relations oracle: mentions islands + ordered pair join, conf 0.5
+from .queries import _MENTIONS_CTE  # noqa: E402
+
+ORACLE_EXT["relations_cooccur"] = (
+    _MENTIONS_CTE.replace(
+        "SELECT r.doc_id, string_agg(r.w, ' ' ORDER BY r.pos) AS entity_text",
+        "SELECT r.doc_id, string_agg(r.w, ' ' ORDER BY r.pos) AS entity_text,\n         a.start_pos AS mpos",
+    )
+    + """
+, ordered AS (
+  SELECT doc_id, entity_text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS idx
+  FROM mentions
+)
+SELECT m1.doc_id,
+       m1.entity_text AS source_text,
+       m2.entity_text AS target_text,
+       'co_occurrence' AS relation_type,
+       0.5::DOUBLE AS confidence
+FROM ordered m1
+JOIN ordered m2 ON m1.doc_id = m2.doc_id AND m1.idx < m2.idx
+"""
+)
