@@ -105,3 +105,17 @@ def extract_chunks(
 def extract_claims_df(docs: DataFrame) -> DataFrame:
     """Rule-based claims (claims/shard.py:300-374)."""
     return _explode_per_doc(docs, extract_claims, CLAIM_STRUCT)
+
+
+def extract_chunks_strategy(
+    docs: DataFrame, strategy: str, **kw
+) -> DataFrame:
+    """Frame ChunkService strategies C4–C8 (services/chunks.py:310-647):
+    fixed_size / fixed_tokens / sentence / paragraph / recursive / markdown /
+    code / semantic(→sentence), dispatched per document in one Arrow pass."""
+    from ..reference_impl.frame_chunks import chunk_with_strategy
+
+    def _fn(text: str) -> list[dict]:
+        return chunk_with_strategy(text, strategy, **kw)
+
+    return _explode_per_doc(docs, _fn, CHUNK_STRUCT)

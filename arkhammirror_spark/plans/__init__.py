@@ -1,0 +1,15 @@
+from .inspect import (
+    executed_plan,
+    has_row_python,
+    pushed_filters,
+    python_node_count,
+    read_schema,
+)
+
+__all__ = [
+    "executed_plan",
+    "has_row_python",
+    "pushed_filters",
+    "python_node_count",
+    "read_schema",
+]
