@@ -33,6 +33,10 @@ def resolve_coref(docs: DataFrame, text_col: str = "extracted_text") -> DataFram
     (all PERSON — matching the reference's deterministic pipeline where the
     parse shard feeds NER output into the resolver)."""
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

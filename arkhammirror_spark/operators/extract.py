@@ -145,6 +145,9 @@ def extract_docs(pages: DataFrame, include_mentions: bool = False) -> DataFrame:
     shipped to Python exactly once instead of per span family — at corpus
     scale this halves the Arrow transfer volume of the mention path.
     """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(pages.sparkSession)
     cols = ["url", "warc_ts", "html", "text"]
     if "kind" in pages.columns:
         cols.append("kind")

@@ -91,6 +91,10 @@ def extract_image_features(
     reference's lazy-singleton pattern); errors quarantine per row.
     """
 
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _model_loaded = {"init": True}  # singleton seam: load weights here once
 
@@ -122,6 +126,10 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling plan for video rows: deterministic frame timestamps from
     duration (decode stubbed — digests derive from payload+index)."""
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

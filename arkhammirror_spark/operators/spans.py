@@ -35,6 +35,9 @@ def _keyed_schema(struct: StructType) -> StructType:
 def _explode_per_doc(
     docs: DataFrame, fn: Callable[[str], list[dict]], struct: StructType
 ) -> DataFrame:
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
     schema = _keyed_schema(struct)
     names = [f.name for f in schema.fields]
 
