@@ -295,20 +295,36 @@ def q_text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     letters = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
     digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
     chars = F.length(F.col("text"))
-    base = docs.select(
+    # top word frequency = longest run in the sorted token array — one native
+    # fold per row, no explode and no shuffle (the naive formulation explodes
+    # tokens and aggregates twice; at corpus scale that's a token-count-sized
+    # shuffle for a per-document statistic)
+    sorted_toks = F.array_sort(toks)
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    agg = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("word_count"),
         chars.cast("long").alias("char_count"),
         letters.cast("long").alias("letter_count"),
         digits.cast("long").alias("digit_count"),
-        F.explode(toks).alias("word"),
+        top_run.alias("top_word_n"),
     )
-    per_word = base.groupBy(
-        "doc_id", "word_count", "char_count", "letter_count", "digit_count", "word"
-    ).agg(F.count(F.lit(1)).alias("wn"))
-    agg = per_word.groupBy(
-        "doc_id", "word_count", "char_count", "letter_count", "digit_count"
-    ).agg(F.max("wn").alias("top_word_n"))
     return agg.select(
         "doc_id",
         "word_count",

@@ -1,0 +1,47 @@
+"""Plan-hygiene gate: every registry query must be free of row-at-a-time
+Python, and document-table queries must column-prune their scans. Plan-only
+(no execution) so the whole sweep is fast."""
+
+import pytest
+
+from arkhammirror_spark.plans import (
+    has_row_python,
+    python_node_count,
+    pushed_filters,
+    read_schema,
+)
+from arkhammirror_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose semantics genuinely need one Arrow-batched python node
+_ARROW_OK = {"mentions", "entities", "comention_edges", "claims", "relations_cooccur"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES.keys()))
+def test_no_row_python_and_bounded_arrow(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert not has_row_python(df), f"{name}: BatchEvalPython in plan"
+    n_py = python_node_count(df)
+    if name in _ARROW_OK:
+        assert n_py == 1, f"{name}: expected exactly one Arrow node, got {n_py}"
+    else:
+        assert n_py == 0, f"{name}: unexpected python node(s) in a native query"
+
+
+def test_document_scans_are_pruned(spark):
+    # native doc queries must not read lang/source columns they don't use
+    for name in ("text_quality_flags", "doc_fingerprint", "token_stats"):
+        schemas = read_schema(QUERIES[name](spark, SF))
+        assert schemas, name
+        assert all("source" not in s and "lang" not in s for s in schemas), (
+            name,
+            schemas,
+        )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    pushed = pushed_filters(QUERIES["pricing_summary"](spark, SF))
+    assert any("l_shipdate" in p for p in pushed)
+    pushed = pushed_filters(QUERIES["embedding_knn"](spark, SF))
+    assert any("vec_id" in p for p in pushed)
