@@ -20,9 +20,13 @@ from typing import Iterator
 
 import pandas as pd
 
+from ..reference_impl.ooxml import make_docx, make_xlsx
 from ..reference_impl.pdfmini import make_pdf
 
-PAGE_KINDS = ("html", "pdf", "text", "eml", "poison")
+PAGE_KINDS = ("html", "pdf", "text", "eml", "csv", "docx", "xlsx", "poison")
+
+# bump when generation logic changes — cache directories key on it
+DATAGEN_VERSION = 2
 
 _BASE_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -92,7 +96,9 @@ def _body_text(rng: random.Random, lang_roll: float) -> tuple[str, str]:
         return _AR, "ar"
     if lang_roll < 0.10:
         return _ZH, "zh"
-    n = rng.randint(4, 12)
+    # 12-40 sentences ≈ 1-4 KB of body text: closer to real page text mass
+    # than a one-liner, so per-doc extraction compute dominates fixed costs
+    n = rng.randint(12, 40)
     parts = [_sentence(rng) for _ in range(n)]
     if rng.random() < 0.3:
         parts.insert(rng.randrange(len(parts)), _SMART + ".")
@@ -133,14 +139,20 @@ def _row(seed: int, i: int) -> dict:
     crng = random.Random((seed << 32) ^ dup_anchor ^ 0xD0C5)
 
     kind_roll = crng.random()
-    if kind_roll < 0.55:
+    if kind_roll < 0.45:
         kind = "html"
-    elif kind_roll < 0.70:
+    elif kind_roll < 0.58:
         kind = "pdf"
-    elif kind_roll < 0.85:
+    elif kind_roll < 0.70:
         kind = "text"
-    elif kind_roll < 0.95:
+    elif kind_roll < 0.78:
         kind = "eml"
+    elif kind_roll < 0.85:
+        kind = "csv"
+    elif kind_roll < 0.90:
+        kind = "docx"
+    elif kind_roll < 0.95:
+        kind = "xlsx"
     else:
         kind = "poison"
 
@@ -172,6 +184,25 @@ def _row(seed: int, i: int) -> dict:
             subject=title,
             body=body,
         ).encode("utf-8")
+    elif kind == "csv":
+        n_rows = crng.randint(3, 12)
+        lines = ["name,org,city,amount"]
+        for _ in range(n_rows):
+            lines.append(
+                f"{crng.choice(_PEOPLE)},{crng.choice(_ORGS)},"
+                f"{crng.choice(_PLACES)},{crng.randint(10, 9999)}"
+            )
+        html = "\r\n".join(lines).encode("utf-8")
+    elif kind == "docx":
+        paras = [title] + body.split(". ")[:8]
+        table = [["person", "org"], [crng.choice(_PEOPLE), crng.choice(_ORGS)]]
+        html = make_docx([p for p in paras if p], [table])
+    elif kind == "xlsx":
+        rows = [["person", "org", "amount"]] + [
+            [crng.choice(_PEOPLE), crng.choice(_ORGS), crng.randint(1, 500)]
+            for _ in range(crng.randint(2, 6))
+        ]
+        html = make_xlsx({"Ledger": rows})
     else:  # poison
         proll = crng.random()
         if proll < 0.4:

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 
 from ..reference_impl.eml import extract_eml
 from ..reference_impl.htmlstrip import strip_html
+from ..reference_impl.ooxml import extract_docx, extract_xlsx
+from ..reference_impl.tabular import extract_csv
 from ..reference_impl.normalize import assess_quality, detect_language, normalize_text
 from ..reference_impl.pdfmini import extract_pdf_text
 from ..reference_impl.textdecode import decode_text_bytes
@@ -43,6 +45,21 @@ def sniff_kind(payload: bytes | None, declared: str | None) -> str:
     head = payload[:2048]
     if head.startswith(b"%PDF-"):
         return "pdf"
+    if head.startswith(b"PK\x03\x04"):
+        # OOXML containers: distinguish by member names
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                names = set(zf.namelist())
+            if "word/document.xml" in names:
+                return "docx"
+            if "xl/workbook.xml" in names:
+                return "xlsx"
+        except Exception:
+            pass
+        return "text"
     lowered = head.lstrip()[:256].lower()
     if lowered.startswith(b"<!doctype") or lowered.startswith(b"<html") or b"<body" in head.lower():
         return "html"
@@ -70,6 +87,12 @@ def extract_one(payload: bytes | None, pre_text: str | None, kind: str | None) -
                 raw_text = strip_html(decoded)
             elif k == "eml":
                 raw_text, n_pages = extract_eml(payload)
+            elif k in ("csv", "tsv"):
+                raw_text, n_pages = extract_csv(payload, is_tsv=(k == "tsv"))
+            elif k == "docx":
+                raw_text, n_pages = extract_docx(payload)
+            elif k == "xlsx":
+                raw_text, n_pages = extract_xlsx(payload)
             else:
                 raw_text, n_pages = decode_text_bytes(payload)
     except Exception as exc:  # quarantine contract

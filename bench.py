@@ -45,7 +45,8 @@ def main() -> None:
 
     # extraction pipeline throughput (the authoritative BASELINE metric)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cache")
-    pages_path = os.path.join(cache_dir, f"pages_{n_pages}")
+    from arkhammirror_spark.datagen.pages import DATAGEN_VERSION
+    pages_path = os.path.join(cache_dir, f"pages_{n_pages}_v{DATAGEN_VERSION}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         gen_pages_df(spark, n_pages, seed=42).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)

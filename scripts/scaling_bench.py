@@ -24,7 +24,9 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from arkhammirror_spark.shipping import build_package_zip
 
-    pages_path = os.path.join(REPO, "_cache", f"pages_{n_pages}")
+    from arkhammirror_spark.datagen.pages import DATAGEN_VERSION
+
+    pages_path = os.path.join(REPO, "_cache", f"pages_{n_pages}_v{DATAGEN_VERSION}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         from arkhammirror_spark.session import get_spark
         from arkhammirror_spark.datagen import gen_pages_df
