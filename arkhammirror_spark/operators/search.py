@@ -197,3 +197,59 @@ def autocomplete(
         .orderBy(F.col(col))
         .limit(limit)
     )
+
+
+def recency_boost(
+    results: DataFrame,
+    ts_col: str = "created_at",
+    score_col: str = "score",
+    decay_factor: float = 0.5,
+) -> DataFrame:
+    """ranking.py:85-123 recency reranker: recency = 1/(1 + age_days·0.1)
+    against the newest result; score = score·(1−d) + recency·d. Rows with a
+    null timestamp keep their score (the reference's `continue`)."""
+    newest = results.agg(F.max(ts_col).alias("_newest"))
+    age_days = F.datediff(F.col("_newest"), F.col(ts_col))
+    rec = 1.0 / (1.0 + age_days * 0.1)
+    return (
+        results.crossJoin(F.broadcast(newest))
+        .withColumn(
+            score_col,
+            F.when(
+                F.col(ts_col).isNotNull(),
+                F.col(score_col) * (1.0 - decay_factor) + rec * decay_factor,
+            ).otherwise(F.col(score_col)),
+        )
+        .drop("_newest")
+    )
+
+
+def dedupe_results(
+    results: DataFrame, by: str = "doc_id", score_col: str = "score"
+) -> DataFrame:
+    """ranking.py:125-160: keep the highest-scoring row per key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy(F.desc(score_col))
+    return (
+        results.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def diversify_by_source(
+    results: DataFrame,
+    source_col: str = "doc_id",
+    score_col: str = "score",
+    max_per_source: int = 3,
+) -> DataFrame:
+    """ranking.py:189-216: cap results per source, keeping the best-scored."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.desc(score_col))
+    return (
+        results.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )

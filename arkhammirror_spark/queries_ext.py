@@ -475,3 +475,60 @@ FROM ordered m1
 JOIN ordered m2 ON m1.doc_id = m2.doc_id AND m1.idx < m2.idx
 """
 )
+
+
+# --- C1 fixed chunking with a pure-SQL oracle --------------------------------
+
+
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 fixed chunker (chunker.py:64-110) at size=100/overlap=20 over the
+    documents table; the oracle reproduces the window arithmetic in SQL."""
+    from .reference_impl.chunker import chunk_fixed
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("chunk_index", LongType(), False),
+            StructField("chunk_text", StringType(), False),
+            StructField("char_start", LongType(), False),
+            StructField("char_end", LongType(), False),
+            StructField("token_count", LongType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                for c in chunk_fixed(t or "", chunk_size=100, overlap=20):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_index": c["chunk_index"],
+                            "chunk_text": c["text"],
+                            "char_start": c["char_start"],
+                            "char_end": c["char_end"],
+                            "token_count": c["token_count"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(_run, schema)
+
+
+QUERIES_EXT["chunk_fixed"] = q_chunk_fixed
+ORACLE_EXT["chunk_fixed"] = """
+WITH starts AS (
+  SELECT doc_id, text, g.i AS idx, (g.i * 80)::BIGINT AS start
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 80)) AS i) g
+  WHERE g.i * 80 < length(text)
+)
+SELECT doc_id, idx::BIGINT AS chunk_index,
+       substr(text, start + 1, 100) AS chunk_text,
+       start AS char_start,
+       least(start + 100, length(text))::BIGINT AS char_end,
+       len(regexp_extract_all(substr(text, start + 1, 100), '\\S+'))::BIGINT AS token_count
+FROM starts
+"""

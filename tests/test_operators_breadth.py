@@ -204,3 +204,31 @@ class TestSimilarity:
     def test_pairwise_cosine(self, spark, emb):
         pairs = pairwise_cosine_above(emb, 0.999, n_planes=6).collect()
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 900)}
+
+
+class TestRerankers:
+    def test_recency_blend(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, 0.9, dt.date(2024, 1, 1)),
+            (2, 0.9, dt.date(2024, 1, 11)),  # newest
+            (3, 0.9, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, score: double, created_at: date")
+        from arkhammirror_spark.operators.search import recency_boost
+
+        got = {r["doc_id"]: r["score"] for r in recency_boost(df).collect()}
+        assert abs(got[2] - (0.9 * 0.5 + 1.0 * 0.5)) < 1e-12  # age 0
+        assert abs(got[1] - (0.9 * 0.5 + (1 / (1 + 10 * 0.1)) * 0.5)) < 1e-12
+        assert got[3] == 0.9  # null ts untouched
+
+    def test_dedupe_and_diversify(self, spark):
+        rows = [(1, "a", 0.9), (2, "a", 0.8), (3, "a", 0.7), (4, "a", 0.6), (5, "b", 0.5)]
+        df = spark.createDataFrame(rows, "rid: long, doc_id: string, score: double")
+        from arkhammirror_spark.operators.search import dedupe_results, diversify_by_source
+
+        kept = dedupe_results(df).collect()
+        assert {(r["rid"], r["doc_id"]) for r in kept} == {(1, "a"), (5, "b")}
+        div = diversify_by_source(df, max_per_source=3).collect()
+        assert sorted(r["rid"] for r in div) == [1, 2, 3, 5]
