@@ -74,6 +74,54 @@ def comention_edges(
     return ordered.limit(limit) if limit else ordered
 
 
+def comention_edges_from_name_sets(
+    docs: DataFrame,
+    names_col: str = "_names",
+    doc_col: str = "url",
+    min_count: int = 2,
+    limit: int | None = 1000,
+    include_doc_ids: bool = False,
+) -> DataFrame:
+    """Edge build from per-doc sorted-distinct name arrays (the fused extract
+    already produced them): the per-doc groupBy disappears entirely — one
+    narrow pair explosion feeding a tiny partial-aggregated count. Output is
+    identical to ``comention_edges`` over the exploded mentions."""
+    n = F.size(names_col)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col(names_col), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col(names_col), i).alias("entity_a"),
+                    y.alias("entity_b"),
+                ),
+            ),
+        )
+    )
+    exploded = (
+        docs.where(n >= 2)
+        .select(F.col(doc_col).alias("doc"), F.explode(pair_structs).alias("p"))
+        .select("doc", "p.entity_a", "p.entity_b")
+    )
+    aggs = [F.count(F.lit(1)).alias("co_occurrence_count")]
+    if include_doc_ids:
+        aggs.append(F.sort_array(F.collect_list(F.col("doc"))).alias("document_ids"))
+    edges = (
+        exploded.groupBy("entity_a", "entity_b")
+        .agg(*aggs)
+        .where(F.col("co_occurrence_count") >= min_count)
+        .withColumn(
+            "weight",
+            F.least(F.lit(1.0), F.col("co_occurrence_count") / F.lit(10.0)),
+        )
+    )
+    ordered = edges.orderBy(
+        F.desc("co_occurrence_count"), F.asc("entity_a"), F.asc("entity_b")
+    )
+    return ordered.limit(limit) if limit else ordered
+
+
 def node_degrees(edges: DataFrame) -> DataFrame:
     """Degree per node from the edge list (builder.py:439-456)."""
     ends = edges.select(F.col("entity_a").alias("name")).unionAll(

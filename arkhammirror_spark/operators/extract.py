@@ -130,6 +130,7 @@ def _make_batches(include_mentions: bool):
         from pyspark import TaskContext
 
         if include_mentions:
+            from ..reference_impl.entity_filter import is_valid_entity
             from ..reference_impl.ner import mock_ner
 
         ctx = TaskContext.get()
@@ -147,7 +148,16 @@ def _make_batches(include_mentions: bool):
                 basis = payload if payload is not None else (pre or "").encode("utf-8")
                 rec["checksum"] = hashlib.sha256(basis).hexdigest()
                 if include_mentions:
-                    rec["_mentions"] = mock_ner(rec["extracted_text"])
+                    ments = mock_ner(rec["extracted_text"])
+                    rec["_mentions"] = ments
+                    rec["_names"] = sorted(
+                        {
+                            m["text"].lower()
+                            for m in ments
+                            if is_valid_entity(m["text"], m["entity_type"])
+                        }
+                    )
+                    rec["_n_mentions"] = len(ments)
                 recs.append(rec)
             elapsed_ms = (time.perf_counter() - t0) * 1000.0
             out = pd.DataFrame(recs)

@@ -99,6 +99,66 @@ def _audit_from_docs(docs_raw: DataFrame, snapshot_id: str) -> DataFrame:
     )
 
 
+def run_extraction_stats(
+    spark: SparkSession,
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    min_edge_count: int = 2,
+) -> dict:
+    """Compute-only extraction run (the scaling-bench unit of work): one
+    extract pass, a SLIM persisted frame (scalars + the filtered name arrays
+    — never the full text/mention structs, whose caching thrashes executor
+    memory at corpus scale), then audit + edge build off the slim cache.
+
+    Returns {docs, errors, mentions, edges, audit_rows}.
+    """
+    from pyspark import StorageLevel
+
+    from .operators.edges import comention_edges_from_name_sets
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    docs_raw = extract_docs(
+        partition_pages(pages, num_partitions), include_mentions=True
+    )
+    slim = docs_raw.select(
+        "url", "error", "_part_id", "_batch_ms", "_n_mentions", "_names"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n_docs = slim.count()
+    n_err = slim.where(F.col("error").isNotNull()).count()
+    n_mentions = (
+        slim.where(F.col("error").isNull())
+        .agg(F.sum("_n_mentions").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    edges = comention_edges_from_name_sets(
+        slim.where(F.col("error").isNull()), min_count=min_edge_count
+    )
+    n_edges = edges.count()
+    audit_rows = (
+        slim.groupBy("_part_id")
+        .agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("output_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+            F.sum("_batch_ms").alias("wall_ms"),
+        )
+        .collect()
+    )
+    slim.unpersist()
+    return {
+        "docs": n_docs,
+        "errors": n_err,
+        "mentions": int(n_mentions),
+        "edges": n_edges,
+        "audit_rows": len(audit_rows),
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -138,7 +198,7 @@ def run_pipeline(
     docs_raw = docs_raw.persist()
 
     audit = _audit_from_docs(docs_raw, snapshot_id)
-    docs = docs_raw.drop("_part_id", "_batch_ms", "_mentions")
+    docs = docs_raw.drop("_part_id", "_batch_ms", "_mentions", "_names", "_n_mentions")
 
     tables: dict[str, DataFrame] = {"docs": docs}
 

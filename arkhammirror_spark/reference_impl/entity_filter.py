@@ -9,6 +9,7 @@ PERSON/ORG/GPE/ORGANIZATION), and an alphabetic-ratio ≥ 0.5 requirement.
 
 from __future__ import annotations
 
+import functools
 import re
 
 MIN_ENTITY_LENGTH = 2
@@ -62,8 +63,12 @@ GENERIC_TERMS = frozenset(
 _GENERIC_TYPES = ("PERSON", "ORG", "GPE", "ORGANIZATION")
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def is_valid_entity(entity_text: str, entity_type: str) -> bool:
-    """True when the mention text is worth keeping as an entity."""
+    """True when the mention text is worth keeping as an entity.
+
+    Pure function of its arguments; memoized because mention texts repeat
+    heavily across a corpus (output unchanged)."""
     if len(entity_text) < MIN_ENTITY_LENGTH or len(entity_text) > MAX_ENTITY_LENGTH:
         return False
 

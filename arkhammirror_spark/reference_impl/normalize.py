@@ -27,6 +27,51 @@ _SMART_PUNCT = (
 
 _MULTI_SPACE_RE = re.compile(r" {2,}")
 
+# Per-character memo tables: the predicates below are pure functions of the
+# character, and real corpora reuse a tiny alphabet, so caching removes the
+# dominant per-char C-call/allocation cost without changing a single output
+# byte (verified by the differential suite).
+_KEEP_CACHE: dict[str, bool] = {}
+_SCRIPT_CACHE: dict[str, int] = {}  # 0=not alpha, 1=latin, 2=cyr, 3=ar, 4=cjk, 5=other alpha
+_CLS_CACHE: dict[str, int] = {}  # bit0 alpha, bit1 digit
+
+
+def _keep_char(ch: str) -> bool:
+    k = _KEEP_CACHE.get(ch)
+    if k is None:
+        k = unicodedata.category(ch)[0] != "C" or ch in "\n\t\r"
+        _KEEP_CACHE[ch] = k
+    return k
+
+
+def _script_of(ch: str) -> int:
+    s = _SCRIPT_CACHE.get(ch)
+    if s is None:
+        if not ch.isalpha():
+            s = 0
+        else:
+            cp = ord(ch)
+            if (0x0041 <= cp <= 0x007A) or (0x00C0 <= cp <= 0x024F):
+                s = 1
+            elif 0x0400 <= cp <= 0x04FF:
+                s = 2
+            elif 0x0600 <= cp <= 0x06FF:
+                s = 3
+            elif (0x4E00 <= cp <= 0x9FFF) or (0x3040 <= cp <= 0x30FF):
+                s = 4
+            else:
+                s = 5
+        _SCRIPT_CACHE[ch] = s
+    return s
+
+
+def _cls_of(ch: str) -> int:
+    c = _CLS_CACHE.get(ch)
+    if c is None:
+        c = (1 if ch.isalpha() else 0) | (2 if ch.isdigit() else 0)
+        _CLS_CACHE[ch] = c
+    return c
+
 
 def normalize_text(text: str) -> tuple[str, list[str]]:
     """Canonical text cleanup; returns (normalized_text, change_tags).
@@ -38,9 +83,7 @@ def normalize_text(text: str) -> tuple[str, list[str]]:
     """
     changes: list[str] = []
 
-    kept = "".join(
-        ch for ch in text if unicodedata.category(ch)[0] != "C" or ch in "\n\t\r"
-    )
+    kept = "".join(ch for ch in text if _keep_char(ch))
     if len(kept) != len(text):
         changes.append("removed_control_chars")
 
@@ -85,18 +128,11 @@ def detect_language(text: str) -> tuple[str, float]:
     alphabetic chars is ≥ 0.3, else "unknown". Confidence is round(share, 2).
     """
     latin = cyrillic = arabic = cjk = total = 0
+    counts = [0, 0, 0, 0, 0, 0]
     for ch in text:
-        if ch.isalpha():
-            total += 1
-            cp = ord(ch)
-            if (0x0041 <= cp <= 0x007A) or (0x00C0 <= cp <= 0x024F):
-                latin += 1
-            elif 0x0400 <= cp <= 0x04FF:
-                cyrillic += 1
-            elif 0x0600 <= cp <= 0x06FF:
-                arabic += 1
-            elif (0x4E00 <= cp <= 0x9FFF) or (0x3040 <= cp <= 0x30FF):
-                cjk += 1
+        counts[_script_of(ch)] += 1
+    latin, cyrillic, arabic, cjk = counts[1], counts[2], counts[3], counts[4]
+    total = latin + cyrillic + arabic + cjk + counts[5]
 
     if total == 0:
         return "unknown", 0.0
@@ -163,8 +199,12 @@ def assess_quality(text: str) -> dict:
         issues.append("low_entropy")
         score -= 0.2
 
-    letters = sum(1 for c in text if c.isalpha())
-    digits = sum(1 for c in text if c.isdigit())
+    letters = 0
+    digits = 0
+    for c in text:
+        cls = _cls_of(c)
+        letters += cls & 1
+        digits += (cls >> 1) & 1
 
     if char_count > 0:
         letter_ratio = letters / char_count

@@ -62,10 +62,18 @@ MENTION_STRUCT_FIELDS = [
     StructField("confidence", DoubleType(), False),
 ]
 
-# docs + fused mock-NER mentions (extract_docs(include_mentions=True))
+# docs + fused mock-NER mentions (extract_docs(include_mentions=True)):
+# _mentions = full mention structs; _names = sorted distinct lowercase names
+# that pass the noise filter (the edge-build input — persisting just this
+# array instead of the full mention structs keeps the cached working set
+# small at corpus scale); _n_mentions = len(_mentions).
 DOCS_MENTIONS_SCHEMA = StructType(
     list(DOCS_SCHEMA.fields)
-    + [StructField("_mentions", ArrayType(StructType(MENTION_STRUCT_FIELDS)), True)]
+    + [
+        StructField("_mentions", ArrayType(StructType(MENTION_STRUCT_FIELDS)), True),
+        StructField("_names", ArrayType(StringType()), True),
+        StructField("_n_mentions", IntegerType(), True),
+    ]
 )
 
 CHUNK_STRUCT = StructType(

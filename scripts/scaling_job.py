@@ -30,8 +30,11 @@ def main() -> None:
     # problem — petabytes of files split naturally)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    # small Arrow batches keep the python-worker resident set flat on
+    # kilobyte-sized documents (10k-row default batches measurably thrash)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
 
-    from arkhammirror_spark.pipeline import run_pipeline
+    from arkhammirror_spark.pipeline import run_extraction_stats
 
     cores = spark.sparkContext.defaultParallelism
     pages = spark.read.parquet(pages_path)
@@ -40,11 +43,7 @@ def main() -> None:
     n_pages = pages.count()
 
     t0 = time.perf_counter()
-    res = run_pipeline(spark, pages, out_dir=None, num_partitions=num_partitions)
-    n_docs = res.tables["docs"].count()
-    n_mentions = res.tables["mentions"].count()
-    n_edges = res.tables["edges"].count()
-    res.audit.collect()
+    stats = run_extraction_stats(spark, pages, num_partitions=num_partitions)
     wall = time.perf_counter() - t0
 
     print(
@@ -52,11 +51,11 @@ def main() -> None:
             {
                 "cores": cores,
                 "pages": n_pages,
-                "docs": n_docs,
-                "mentions": n_mentions,
-                "edges": n_edges,
+                "docs": stats["docs"],
+                "mentions": stats["mentions"],
+                "edges": stats["edges"],
                 "wall_s": round(wall, 2),
-                "docs_per_sec": round(n_docs / wall, 2),
+                "docs_per_sec": round(stats["docs"] / wall, 2),
             }
         )
     )

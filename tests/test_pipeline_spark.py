@@ -192,3 +192,32 @@ class TestPlanHygiene:
         df = extract_docs(spark.read.parquet(p))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "lang" not in plan.split("ReadSchema")[-1][:400]
+
+
+class TestExtractionStats:
+    def test_stats_match_full_pipeline(self, spark, pages):
+        from arkhammirror_spark.pipeline import run_extraction_stats, run_pipeline
+
+        stats = run_extraction_stats(spark, pages, num_partitions=8)
+        res = run_pipeline(spark, pages, out_dir=None, num_partitions=8)
+        assert stats["docs"] == res.tables["docs"].count() == N_ROWS
+        assert stats["errors"] == res.tables["docs"].where("error is not null").count()
+        assert stats["mentions"] == res.tables["mentions"].count()
+        assert stats["edges"] == res.tables["edges"].count()
+
+    def test_name_set_edges_equal_mention_edges(self, spark, pages):
+        from pyspark.sql import functions as F
+        from arkhammirror_spark.operators.edges import (
+            comention_edges,
+            comention_edges_from_name_sets,
+        )
+        from arkhammirror_spark.operators.entities import filter_valid_mentions
+        from arkhammirror_spark.operators.extract import extract_docs
+
+        docs_raw = extract_docs(pages, include_mentions=True).where("error is null")
+        m = docs_raw.select("url", F.explode("_mentions").alias("mm")).select("url", "mm.*")
+        via_mentions = comention_edges(
+            filter_valid_mentions(m), min_count=2, include_doc_ids=False
+        ).collect()
+        via_names = comention_edges_from_name_sets(docs_raw, min_count=2).collect()
+        assert sorted(map(tuple, via_mentions)) == sorted(map(tuple, via_names))

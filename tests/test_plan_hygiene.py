@@ -15,7 +15,14 @@ from arkhammirror_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 # queries whose semantics genuinely need one Arrow-batched python node
-_ARROW_OK = {"mentions", "entities", "comention_edges", "claims", "relations_cooccur"}
+_ARROW_OK = {
+    "mentions",
+    "entities",
+    "comention_edges",
+    "claims",
+    "relations_cooccur",
+    "chunk_fixed",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
