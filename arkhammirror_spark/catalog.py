@@ -79,6 +79,12 @@ class ParquetSnapshotCatalog:
         out.sort(key=lambda m: m["committed_at_epoch"])
         return out
 
+    def read_snapshot(
+        self, spark: SparkSession, table: str, snapshot_id: str
+    ) -> DataFrame:
+        """Read one committed snapshot (this run's contribution only)."""
+        return spark.read.parquet(self._snap_dir(table, snapshot_id))
+
     def read_table(self, spark: SparkSession, table: str) -> DataFrame | None:
         snaps = self.committed_snapshots(table)
         if not snaps:

@@ -195,15 +195,32 @@ def run_pipeline(
 
     # mock-NER is fused into the extract pass (one Arrow trip for the text)
     docs_raw = extract_docs(pages, include_mentions=with_spans)
-    docs_raw = docs_raw.persist()
+
+    if catalog:
+        # Storage-checkpoint pattern: materialize the extract output ONCE to
+        # parquet, then feed every downstream table from column-pruned reads
+        # of that snapshot. Caching the full frame instead (text + mention
+        # arrays) measurably thrashes executor memory at corpus scale; a
+        # parquet read prunes to exactly the 1-2 columns each consumer needs.
+        catalog.write_snapshot(docs_raw, "docs", snapshot_id)
+        # downstream processes THIS run's increment only (committed earlier
+        # snapshots were fully processed by their own runs)
+        docs_raw = catalog.read_snapshot(spark, "docs", snapshot_id)
+    else:
+        from pyspark import StorageLevel
+
+        docs_raw = docs_raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     audit = _audit_from_docs(docs_raw, snapshot_id)
-    docs = docs_raw.drop("_part_id", "_batch_ms", "_mentions", "_names", "_n_mentions")
+    _PRIVATE = ("_part_id", "_batch_ms", "_mentions", "_names", "_n_mentions")
+    docs = docs_raw.drop(*_PRIVATE)
 
     tables: dict[str, DataFrame] = {"docs": docs}
 
     if with_spans:
-        clean = docs.where(F.col("error").isNull())
+        clean = docs_raw.select("url", "extracted_text", "error").where(
+            F.col("error").isNull()
+        )
         mentions = (
             docs_raw.where(F.col("error").isNull())
             .select("url", F.explode("_mentions").alias("m"))
@@ -226,13 +243,14 @@ def run_pipeline(
 
     if catalog:
         for name, df in tables.items():
-            catalog.write_snapshot(df, name, snapshot_id)
+            if name != "docs":  # docs snapshot already committed above
+                catalog.write_snapshot(df, name, snapshot_id)
         catalog.write_snapshot(audit, "audit", snapshot_id)
-        docs_raw.unpersist()
-        # re-read what we just wrote so downstream consumers see committed data
+        # expose committed data; public docs view prunes the internal columns
         tables = {
             name: catalog.read_table(spark, name) for name in tables  # type: ignore[misc]
         }
+        tables["docs"] = tables["docs"].drop(*_PRIVATE)
 
     return PipelineResult(
         snapshot_id=snapshot_id, tables=tables, audit=audit, stats=stats
