@@ -532,3 +532,84 @@ SELECT doc_id, idx::BIGINT AS chunk_index,
        len(regexp_extract_all(substr(text, start + 1, 100), '\\S+'))::BIGINT AS token_count
 FROM starts
 """
+
+
+# --- E15 node degrees + Q3 hybrid search --------------------------------------
+
+
+def q_edge_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node degrees over the co-mention edge list (builder.py:439-456)."""
+    from .operators.edges import node_degrees
+    from .queries import q_comention_edges
+
+    edges = q_comention_edges(spark, sf_dir)
+    return node_degrees(edges).withColumnRenamed("name", "entity_name")
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 hybrid merge (hybrid.py:51-81): keyword BM25 over documents +
+    semantic cosine over embeddings (vec_id ≡ doc_id pairing), weights for
+    64-dim embeddings → (0.5, 0.5)."""
+    from .operators.search import hybrid_merge
+
+    kw = q_bm25_search(spark, sf_dir)
+    # semantic side: full cosine list (not top-k) so the merge is meaningful
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("score"))
+    )
+    merged = hybrid_merge(sem, kw.select("doc_id", "score"), dimensions=64)
+    # components are 6-dp-rounded on both engines; the 0.5/0.5 blend is an
+    # exact IEEE halving of their sum, so NO outer round — rounding again
+    # would land on exact .5 ties at the 7th digit for ~half the rows
+    return merged.select("doc_id", "hybrid_score", "semantic_score", "keyword_score")
+
+
+QUERIES_EXT["edge_degrees"] = q_edge_degrees
+QUERIES_EXT["hybrid_search"] = q_hybrid_search
+
+from .queries import ORACLE_SQL as _BASE_ORACLES  # noqa: E402
+
+ORACLE_EXT["edge_degrees"] = f"""
+WITH edges AS ({_BASE_ORACLES["comention_edges"]})
+SELECT entity_name, count(*)::BIGINT AS degree FROM (
+  SELECT entity_a AS entity_name FROM edges
+  UNION ALL
+  SELECT entity_b AS entity_name FROM edges
+) GROUP BY 1
+"""
+
+ORACLE_EXT["hybrid_search"] = f"""
+WITH kw AS ({_BM25_SQL}),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          i -> (e.embedding[i]::DOUBLE) * (q.qv[i]))), (a, x) -> a + x)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          i -> (e.embedding[i]::DOUBLE) * (e.embedding[i]::DOUBLE))), (a, x) -> a + x))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          i -> q.qv[i] * q.qv[i])), (a, x) -> a + x))), 6) AS score
+  FROM embeddings e, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+)
+SELECT coalesce(sem.doc_id, kw.doc_id) AS doc_id,
+       coalesce(sem.score, 0.0) * 0.5 + coalesce(kw.score, 0.0) * 0.5 AS hybrid_score,
+       coalesce(sem.score, 0.0) AS semantic_score,
+       coalesce(kw.score, 0.0) AS keyword_score
+FROM sem FULL OUTER JOIN kw ON sem.doc_id = kw.doc_id
+"""

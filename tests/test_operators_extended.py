@@ -228,3 +228,39 @@ class TestStreaming:
             src["kind"],
         )
         assert row["extracted_text"] == oracle["extracted_text"]
+
+
+class TestPagedSpans:
+    def test_pdf_pages_split_and_numbered(self, spark):
+        from arkhammirror_spark.operators.paged import paged_chunks, paged_mentions
+
+        docs = spark.createDataFrame(
+            [
+                ("u1", "John Smith spoke first.\n\nActa Corp replied later.", "pdf"),
+                ("u2", "Jane Doe wrote a single page note.", "html"),
+            ],
+            "url: string, extracted_text: string, kind: string",
+        )
+        ments = paged_mentions(docs).collect()
+        by_page = {}
+        for m in ments:
+            by_page.setdefault((m["url"], m["page_number"]), []).append(m["text"])
+        assert by_page[("u1", 1)] == ["John Smith"]
+        assert by_page[("u1", 2)] == ["Acta Corp"]
+        assert by_page[("u2", 1)] == ["Jane Doe"]
+
+        chunks = paged_chunks(docs).collect()
+        pages = {(c["url"], c["page_number"]): c["text"] for c in chunks}
+        assert pages[("u1", 2)] == "Acta Corp replied later."
+        # offsets restart per page (the reference's per-page loop semantics)
+        assert all(c["char_start"] == 0 for c in chunks)
+
+    def test_without_kind_column_single_page(self, spark):
+        from arkhammirror_spark.operators.paged import paged_mentions
+
+        docs = spark.createDataFrame(
+            [("u1", "Alpha Beta here.\n\nGamma Delta there.")],
+            "url: string, extracted_text: string",
+        )
+        got = paged_mentions(docs).collect()
+        assert {m["page_number"] for m in got} == {1}

