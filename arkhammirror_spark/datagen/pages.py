@@ -26,7 +26,7 @@ from ..reference_impl.pdfmini import make_pdf
 PAGE_KINDS = ("html", "pdf", "text", "eml", "csv", "docx", "xlsx", "poison")
 
 # bump when generation logic changes — cache directories key on it
-DATAGEN_VERSION = 2
+DATAGEN_VERSION = 3
 
 _BASE_TS = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 

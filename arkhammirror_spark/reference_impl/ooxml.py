@@ -26,6 +26,17 @@ import re
 import zipfile
 import xml.etree.ElementTree as ET
 
+
+def _zip_writestr(zf: zipfile.ZipFile, name: str, data: str | bytes) -> None:
+    """Deterministic zip entry: zipfile stamps wall-clock time into entry
+    headers by default, making byte-identical content hash differently
+    across runs — poison for checksum dedup. Fix the timestamp to the
+    DOS epoch."""
+    info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+    info.compress_type = zipfile.ZIP_DEFLATED
+    info.external_attr = 0o600 << 16
+    zf.writestr(info, data)
+
 W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 
@@ -98,18 +109,20 @@ def make_docx(paragraphs: list[str], tables: list[list[list[str]]] | None = None
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(
+        _zip_writestr(
+            zf,
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>',
         )
-        zf.writestr(
+        _zip_writestr(
+            zf,
             "_rels/.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/></Relationships>',
         )
-        zf.writestr("word/document.xml", doc)
+        _zip_writestr(zf, "word/document.xml", doc)
     return buf.getvalue()
 
 
@@ -214,20 +227,22 @@ def make_xlsx(sheets: dict[str, list[list[object]]]) -> bytes:
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(
+        _zip_writestr(
+            zf,
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>',
         )
-        zf.writestr(
+        _zip_writestr(
+            zf,
             "_rels/.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>',
         )
-        zf.writestr("xl/workbook.xml", wb)
-        zf.writestr("xl/_rels/workbook.xml.rels", rels)
-        zf.writestr("xl/sharedStrings.xml", sst)
+        _zip_writestr(zf, "xl/workbook.xml", wb)
+        _zip_writestr(zf, "xl/_rels/workbook.xml.rels", rels)
+        _zip_writestr(zf, "xl/sharedStrings.xml", sst)
         for i, xml in enumerate(sheet_xmls):
-            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", xml)
+            _zip_writestr(zf, f"xl/worksheets/sheet{i+1}.xml", xml)
     return buf.getvalue()

@@ -117,7 +117,7 @@ def main() -> None:
 Protocol (BASELINE.md): identical extraction job — pages → fused extract
 (decode + normalize + lang + quality + mock-NER + noise filter) → mention
 count → co-mention edge build → per-partition audit — on identical
-deterministic input ({rn["pages"]} synthetic pages, seed 42, DATAGEN v2:
+deterministic input ({rn["pages"]} synthetic pages, seed 42, DATAGEN v3:
 html/pdf/text/eml/csv/docx/xlsx mix with poison rows), run via
 `spark-submit --py-files` at two parallelism levels on this 32-core
 (1 thread/core) Firecracker host, each run PINNED to exactly its core

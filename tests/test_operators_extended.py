@@ -264,3 +264,53 @@ class TestPagedSpans:
         )
         got = paged_mentions(docs).collect()
         assert {m["page_number"] for m in got} == {1}
+
+
+class TestStatefulStreaming:
+    def test_checksum_dedup_state_survives_batches(self, spark, tmp_path):
+        from arkhammirror_spark.datagen import gen_pages_df
+        from arkhammirror_spark.schemas import PAGES_SCHEMA
+        from arkhammirror_spark.streaming.stateful import streaming_checksum_dedup
+        from arkhammirror_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        pages_dir = str(tmp_path / "pages")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        batch1 = gen_pages_df(spark, 97, seed=3)  # rows 13,14 duplicate row 0 content
+        batch1.write.mode("append").parquet(pages_dir)
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        q = (
+            streaming_checksum_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n1 = spark.read.parquet(out_dir).count()
+        # duplicates collapsed: fewer outputs than inputs
+        assert n1 < 97
+
+        # second delivery of the SAME payloads: state drops all of them
+        gen_pages_df(spark, 97, seed=3).selectExpr(
+            "concat(url, '-redelivery') as url", "warc_ts", "html", "text", "lang", "kind"
+        ).write.mode("append").parquet(pages_dir)
+        q2 = (
+            streaming_checksum_dedup(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        n2 = spark.read.parquet(out_dir).count()
+        assert n2 == n1  # nothing new emitted: every checksum already seen
