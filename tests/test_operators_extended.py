@@ -314,3 +314,21 @@ class TestStatefulStreaming:
         q2.awaitTermination()
         n2 = spark.read.parquet(out_dir).count()
         assert n2 == n1  # nothing new emitted: every checksum already seen
+
+
+class TestModelNer:
+    def test_falls_back_to_mock_without_spacy(self, spark):
+        from arkhammirror_spark.operators.ner_model import (
+            extract_mentions_model,
+            model_confidence,
+        )
+        from arkhammirror_spark.reference_impl.ner import mock_ner
+
+        text = "John Smith works at Acme Corp in New York."
+        docs = spark.createDataFrame([("u1", text)], "url: string, extracted_text: string")
+        got = [r["text"] for r in extract_mentions_model(docs).collect()]
+        assert got == [m["text"] for m in mock_ner(text)]
+        # ner_worker.py confidence heuristic
+        assert abs(model_confidence("John Smith") - 0.95) < 1e-12
+        assert model_confidence("acme") == 0.8
+        assert model_confidence("Acme") == 0.9
