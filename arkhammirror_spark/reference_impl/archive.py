@@ -1,0 +1,79 @@
+"""Archive member extraction (S11) — zip/tar/tgz/gz, guarded.
+
+Reference lineage: arkham-shard-ingest/workers/archive_worker.py —
+zip-bomb guard (compression ratio > 1000, > 10000 files, > 10 GB
+uncompressed; :50-52, `_check_zip_bomb` :258-304) and path-traversal guard
+(".." components rejected, :236-256). The reference extracts members to a
+filesystem silo; here members become rows (name, payload) feeding the same
+binary-column pipeline — no filesystem, so traversal names are simply
+rejected rather than resolved.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+MAX_FILES = 10_000
+MAX_UNCOMPRESSED_SIZE = 10 * 1024 * 1024 * 1024
+MAX_COMPRESSION_RATIO = 1000
+
+
+def _guard(name: str) -> None:
+    parts = name.replace("\\", "/").split("/")
+    if ".." in parts:
+        raise ValueError(f"Path traversal detected in archive member: {name}")
+
+
+def _bomb_check(compressed: int, uncompressed: int, n_files: int) -> None:
+    if n_files > MAX_FILES:
+        raise ValueError(f"Archive has too many files: {n_files}")
+    if uncompressed > MAX_UNCOMPRESSED_SIZE:
+        raise ValueError(f"Archive too large uncompressed: {uncompressed}")
+    if compressed > 0 and uncompressed / compressed > MAX_COMPRESSION_RATIO:
+        raise ValueError(
+            f"Suspicious compression ratio: {uncompressed / compressed:.0f}"
+        )
+
+
+def sniff_archive(raw: bytes) -> str | None:
+    if raw[:4] == b"PK\x03\x04":
+        return "zip"
+    if raw[:2] == b"\x1f\x8b":
+        return "gz"
+    if len(raw) > 262 and raw[257:262] == b"ustar":
+        return "tar"
+    return None
+
+
+def extract_archive_members(raw: bytes, fmt: str | None = None) -> list[tuple[str, bytes]]:
+    """(member_name, payload) pairs; raises ValueError on bombs/traversal."""
+    fmt = fmt or sniff_archive(raw)
+    if fmt == "zip":
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            infos = [i for i in zf.infolist() if not i.is_dir()]
+            _bomb_check(len(raw), sum(i.file_size for i in infos), len(infos))
+            out = []
+            for i in infos:
+                _guard(i.filename)
+                out.append((i.filename, zf.read(i)))
+            return out
+    if fmt in ("tar", "tgz"):
+        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+            members = [m for m in tf.getmembers() if m.isfile()]
+            _bomb_check(len(raw), sum(m.size for m in members), len(members))
+            out = []
+            for m in members:
+                _guard(m.name)
+                fh = tf.extractfile(m)
+                out.append((m.name, fh.read() if fh else b""))
+            return out
+    if fmt == "gz":
+        # single-member stream; cap the read to the bomb limit + 1 to detect
+        with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gf:
+            data = gf.read(MAX_COMPRESSION_RATIO * len(raw) + 1)
+            _bomb_check(len(raw), len(data), 1)
+            return [("member", data)]
+    raise ValueError(f"Unsupported or unrecognized archive format: {fmt}")

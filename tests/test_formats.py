@@ -61,3 +61,84 @@ class TestOoxml:
         rec = extract_one(b"name,org\nJohn,Acme\n", None, "csv")
         assert rec["error"] is None
         assert "name: John | org: Acme" in rec["extracted_text"]
+
+
+class TestArchives:
+    def _zip(self, members):
+        import io, zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in members:
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    def test_members_and_guards(self):
+        from arkhammirror_spark.reference_impl.archive import (
+            extract_archive_members,
+            sniff_archive,
+        )
+
+        raw = self._zip([("a.txt", b"hello"), ("dir/b.txt", b"world")])
+        assert sniff_archive(raw) == "zip"
+        got = extract_archive_members(raw)
+        assert [(n, d) for n, d in got] == [("a.txt", b"hello"), ("dir/b.txt", b"world")]
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="traversal"):
+            extract_archive_members(self._zip([("../evil.txt", b"x")]))
+
+        # zip bomb: deflate of zeros tops out ~1026:1, just over the 1000 gate
+        bomb = self._zip([("z.bin", b"\x00" * 20_000_000)])
+        with _pt.raises(ValueError, match="ratio"):
+            extract_archive_members(bomb)
+
+    def test_tar_and_gz(self):
+        import gzip, io, tarfile
+
+        from arkhammirror_spark.reference_impl.archive import extract_archive_members
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            data = b"tar content"
+            info = tarfile.TarInfo("t.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        assert extract_archive_members(buf.getvalue()) == [("t.txt", b"tar content")]
+
+        gz = gzip.compress(b"gz content here")
+        assert extract_archive_members(gz) == [("member", b"gz content here")]
+
+    def test_spark_explode_then_extract(self, spark):
+        from arkhammirror_spark.operators.archives import explode_archives
+        from arkhammirror_spark.operators.extract import extract_docs
+        from pyspark.sql import functions as F
+        import datetime as dt
+
+        raw = self._zip([("doc.txt", b"John Smith works at Acme Corp."),
+                         ("bad/../x", b"nope")])
+        # second archive is traversal-poisoned
+        bad = self._zip([("../../etc", b"x")])
+        pages = spark.createDataFrame(
+            [("https://h/a.zip", raw), ("https://h/b.zip", bad)],
+            "url: string, html: binary",
+        )
+        members = explode_archives(pages)
+        rows = {r["url"]: r for r in members.collect()}
+        assert rows["https://h/b.zip"]["error"] is not None  # quarantined whole
+        assert rows["https://h/a.zip"]["error"] is not None  # traversal member poisons it too
+
+        ok = self._zip([("doc.txt", b"John Smith works at Acme Corp.")])
+        pages2 = spark.createDataFrame([("https://h/c.zip", ok)], "url: string, html: binary")
+        m2 = explode_archives(pages2).where("error is null")
+        docs = extract_docs(
+            m2.select(
+                F.col("url"),
+                F.lit(dt.datetime(2026, 1, 1)).alias("warc_ts"),
+                F.col("payload").alias("html"),
+                F.lit(None).cast("string").alias("text"),
+            )
+        ).collect()
+        assert docs[0]["url"] == "https://h/c.zip!doc.txt"
+        assert "John Smith works at Acme Corp." in docs[0]["extracted_text"]
