@@ -60,6 +60,16 @@ def main() -> None:
     timings["extraction_pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = round(n_docs / pipeline_sec, 1)
 
+    # compute-only extraction throughput (the BASELINE.md headline metric:
+    # extract + mentions + edges + audit, no table writes)
+    from arkhammirror_spark.pipeline import run_extraction_stats
+
+    t0 = time.perf_counter()
+    stats = run_extraction_stats(spark, pages, num_partitions=cpus * 2)
+    stats_sec = time.perf_counter() - t0
+    timings["extraction_stats"] = round(stats_sec, 3)
+    extract_docs_per_sec = round(stats["docs"] / stats_sec, 1)
+
     total = round(time.perf_counter() - t_all, 3)
     print(
         json.dumps(
@@ -69,7 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
-                "docs_per_sec": docs_per_sec,
+                "docs_per_sec": extract_docs_per_sec,
+                "docs_per_sec_with_writes": docs_per_sec,
                 "pipeline_docs": n_docs,
                 "cpus": cpus,
             }
