@@ -184,3 +184,32 @@ def test_normalize_differential_against_inline_port(text):
 
     got, _ = ours.normalize_text(text)
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def ref_coref(ref):
+    base = f"{REF}/arkham-shard-parse/arkham_shard_parse"
+    for name in ("arkham_shard_parse.linkers",):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            sys.modules[name] = pkg
+    return _load(
+        "arkham_shard_parse.linkers.coreference", f"{base}/linkers/coreference.py"
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TEXTS)
+def test_coreference_differential(ref, ref_coref, text):
+    their_mentions = ref.ner.NERExtractor()._mock_extract(text)
+    my_mentions = ours.mock_ner(text)
+    import arkhammirror_spark.reference_impl.coreference as mc
+
+    theirs = ref_coref.CoreferenceResolver().resolve(text, their_mentions)
+    mine = mc.resolve_coreferences(text, my_mentions)
+    assert mine == theirs
+
+    their_chains = ref_coref.CoreferenceResolver().resolve_chains(text, their_mentions)
+    my_chains = mc.coreference_chains(my_mentions)
+    assert sorted(map(tuple, my_chains)) == sorted(map(tuple, their_chains))
