@@ -9,10 +9,18 @@ contract the pipeline needs on plain parquet:
 - a *snapshot* is ``<root>/<table>/snapshot=<id>/`` written atomically
   (parquet + `_MANIFEST.json` committed last; a snapshot without a manifest
   is invisible),
-- ``committed_snapshots`` lists manifests in commit order,
-- ``read_table`` unions all committed snapshots (append semantics).
+- a *run* spans one snapshot per table; the run is committed by a single
+  ``_runs/<id>.json`` manifest written AFTER every table snapshot of that
+  run. Readers and resume key off committed runs, so a crash between table
+  writes leaves only an invisible orphan run (re-extracted next time),
+  never a half-committed increment (Iceberg analogue: one multi-table
+  transaction / WAP commit),
+- ``committed_snapshots`` lists per-table manifests in commit order,
+- ``read_table`` unions the snapshots of committed runs (append semantics);
+  ``read_table_latest`` returns only the newest committed run's snapshot
+  (replace semantics — for derived aggregates recomputed per run).
 
-Resume-from-checkpoint = anti-join against the union of committed snapshots'
+Resume-from-checkpoint = anti-join against the union of committed runs'
 keys, identical in both backends.
 """
 
@@ -66,6 +74,40 @@ class ParquetSnapshotCatalog:
         os.replace(tmp, final)  # atomic commit point
         return manifest
 
+    # -- run-level commit (one manifest per multi-table transaction) --------
+
+    def _runs_dir(self) -> str:
+        return os.path.join(self.root, "_runs")
+
+    def commit_run(self, run_id: str, tables: list[str], extra_meta: dict | None = None) -> dict:
+        """Atomic run commit point: written only after every table snapshot
+        of the run is on disk."""
+        os.makedirs(self._runs_dir(), exist_ok=True)
+        manifest = {
+            "run_id": run_id,
+            "tables": sorted(tables),
+            "committed_at_epoch": time.time(),
+            **(extra_meta or {}),
+        }
+        tmp = os.path.join(self._runs_dir(), f"{run_id}.json.tmp")
+        final = os.path.join(self._runs_dir(), f"{run_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, final)
+        return manifest
+
+    def committed_runs(self) -> list[dict]:
+        rdir = self._runs_dir()
+        if not os.path.isdir(rdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(rdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(rdir, name)) as fh:
+                    out.append(json.load(fh))
+        out.sort(key=lambda m: m["committed_at_epoch"])
+        return out
+
     def committed_snapshots(self, table: str) -> list[dict]:
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
@@ -85,9 +127,22 @@ class ParquetSnapshotCatalog:
         """Read one committed snapshot (this run's contribution only)."""
         return spark.read.parquet(self._snap_dir(table, snapshot_id))
 
+    def _committed_run_snaps(self, table: str) -> list[str]:
+        """Snapshot ids of `table` that belong to a COMMITTED run, in run
+        commit order. Orphan snapshots (run crashed before its run manifest)
+        are invisible."""
+        return [m["run_id"] for m in self.committed_runs() if table in m["tables"]]
+
     def read_table(self, spark: SparkSession, table: str) -> DataFrame | None:
-        snaps = self.committed_snapshots(table)
+        snaps = self._committed_run_snaps(table)
         if not snaps:
             return None
-        paths = [self._snap_dir(table, m["snapshot_id"]) for m in snaps]
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*[self._snap_dir(table, s) for s in snaps])
+
+    def read_table_latest(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Newest committed run's snapshot only — replace semantics for
+        derived aggregates (entities/edges) recomputed in full per run."""
+        snaps = self._committed_run_snaps(table)
+        if not snaps:
+            return None
+        return spark.read.parquet(self._snap_dir(table, snaps[-1]))

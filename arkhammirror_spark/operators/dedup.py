@@ -154,8 +154,16 @@ def verified_neardup_pairs(
     rows: int = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The shingle frame is deliberately NOT persisted: it is ~n× the corpus
+    text, and caching text-carrying frames thrashes executor memory at scale
+    (CLAUDE.md invariant 5). Both consumers (signatures, Jaccard verify)
+    recompute it from the pruned source scan — whole-stage-codegen splits —
+    which is cheaper than a corpus-sized cache. At 100 TB, checkpoint the
+    shingle table to storage (write-then-pruned-read) instead.
+    """
+    sh = shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(sh, id_col, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     out = jaccard_for_pairs(cands, sh, id_col).where(
@@ -171,8 +179,11 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Brute-force exact Jaccard pairs via shared-shingle join (oracle path)."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    """Brute-force exact Jaccard pairs via shared-shingle join (oracle path).
+
+    No persist (invariant 5): shingles recompute from the pruned scan.
+    """
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

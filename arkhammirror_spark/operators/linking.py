@@ -7,6 +7,16 @@ Reference lineage:
   the fuzzy tier is implemented (Levenshtein ≤ 2 on lowercase, best match by
   smallest distance then name) as the documented extension point the
   reference left open ("In production: Use Levenshtein distance").
+
+Fuzzy-tier scale design: a raw `lev(m, c) <= k` theta-join compiles to a
+BroadcastNestedLoopJoin — O(mentions × canonicals) edit-distance calls
+(10^15 at 10^9 × 10^6). Instead we BLOCK on an equi-key (first character ×
+length bucket, mention side exploded to the ±1 neighboring buckets so every
+|len diff| <= k pair lands in a shared bucket) and Levenshtein-verify inside
+the block. The first-character constraint is the one documented
+approximation (a pair whose edit touches position 0 is missed); length
+bucketing loses nothing for k < bucket width. Plans: shuffled hash/sort-merge
+equi-join, never a nested loop (asserted in tests/test_plan_hygiene.py).
 - merge_canonicals (arkham-frame/services/entities.py:899-959): relink
   mentions of merged entities and union alias arrays → groupBy + array_union.
 """
@@ -45,13 +55,49 @@ def link_mentions(
         F.lit("exact_match").alias("link_reason"),
     )
 
-    fz = unmatched.join(
-        F.broadcast(c),
-        F.levenshtein(F.col("_mlow"), F.col("_clow")) <= fuzzy_max_dist,
-        "left",
-    ).withColumn("_dist", F.levenshtein(F.col("_mlow"), F.col("_clow")))
+    # --- fuzzy tier: blocked equi-join + in-block Levenshtein verify --------
+    bucket_w = fuzzy_max_dist + 2  # bucket width > k ⇒ |len diff|<=k spans <=1 bucket boundary
+    m_blocked = unmatched.withColumn(
+        "_blk",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.substring(F.col("_mlow"), 1, 1),
+                        ((F.length("_mlow") / bucket_w).cast("int") + d).cast("string"),
+                    )
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    c_blocked = c.withColumn(
+        "_blk",
+        F.concat_ws(
+            "|",
+            F.substring(F.col("_clow"), 1, 1),
+            (F.length("_clow") / bucket_w).cast("int").cast("string"),
+        ),
+    )
+    # bounded levenshtein (threshold form early-exits at k+1 → O(k·len) per
+    # pair instead of O(len²)); returns -1 above the bound → null out
+    dist = F.when(
+        F.col("_clow").isNotNull()
+        & (F.abs(F.length("_mlow") - F.length("_clow")) <= fuzzy_max_dist),
+        F.nullif(
+            F.levenshtein(F.col("_mlow"), F.col("_clow"), fuzzy_max_dist),
+            F.lit(-1),
+        ),
+    )
+    fz = (
+        m_blocked.join(c_blocked, "_blk", "left")
+        .withColumn("_dist", dist)
+        .withColumn("_cid", F.when(F.col("_dist").isNotNull(), F.col("_cid")))
+        .withColumn("_clow", F.when(F.col("_dist").isNotNull(), F.col("_clow")))
+    )
     w = Window.partitionBy(*[F.col(x) for x in mentions.columns]).orderBy(
-        F.asc_nulls_last("_dist"), F.asc("_clow")
+        F.asc_nulls_last("_dist"), F.asc_nulls_last("_clow")
     )
     fuzzy = (
         fz.withColumn("_rk", F.row_number().over(w))

@@ -232,25 +232,57 @@ def run_pipeline(
         tables["chunks"] = extract_chunks(clean)
         tables["claims"] = extract_claims_df(clean)
 
-        valid = filter_valid_mentions(mentions)
+    if catalog:
+        # per-document tables append this run's increment
+        for name, df in tables.items():
+            if name != "docs":  # docs snapshot already written above
+                catalog.write_snapshot(df, name, snapshot_id)
+
+        if with_spans:
+            # entities/edges are DERIVED AGGREGATES, not append tables: a
+            # per-increment aggregation would split counts across snapshots,
+            # apply min_count per increment (dropping cross-snapshot
+            # co-occurrences) and turn limit into a per-increment top-N.
+            # Recompute them over the FULL committed mentions (prior runs +
+            # this increment) each run; readers take the latest run's result.
+            prior = catalog.read_table(spark, "mentions")
+            inc = catalog.read_snapshot(spark, "mentions", snapshot_id)
+            full_mentions = inc if prior is None else prior.unionByName(inc)
+            valid = filter_valid_mentions(full_mentions)
+            tables["entities"] = aggregate_entities(valid)
+            # document_ids arrays are opt-in: at 10^12-doc scale an unbounded
+            # ARRAY_AGG per edge is a memory hazard; the (doc, entity) mapping
+            # is already materialized in the mentions table.
+            tables["edges"] = comention_edges(
+                valid, min_count=min_edge_count, include_doc_ids=edge_doc_ids
+            )
+            catalog.write_snapshot(tables["entities"], "entities", snapshot_id)
+            catalog.write_snapshot(tables["edges"], "edges", snapshot_id)
+
+        catalog.write_snapshot(audit, "audit", snapshot_id)
+        # run-level atomic commit point: ONLY now does this increment become
+        # visible to readers and to resume. A crash anywhere above leaves an
+        # invisible orphan run whose urls are re-extracted next time — no
+        # half-committed increment, no silently lost downstream rows.
+        catalog.commit_run(snapshot_id, [*tables.keys(), "audit"])
+
+        # expose committed data; public docs view prunes the internal columns
+        _DERIVED = ("entities", "edges")
+        tables = {
+            name: (
+                catalog.read_table_latest(spark, name)
+                if name in _DERIVED
+                else catalog.read_table(spark, name)
+            )
+            for name in tables  # type: ignore[misc]
+        }
+        tables["docs"] = tables["docs"].drop(*_PRIVATE)
+    elif with_spans:
+        valid = filter_valid_mentions(tables["mentions"])
         tables["entities"] = aggregate_entities(valid)
-        # document_ids arrays are opt-in: at 10^12-doc scale an unbounded
-        # ARRAY_AGG per edge is a memory hazard; the (doc, entity) mapping is
-        # already materialized in the mentions table.
         tables["edges"] = comention_edges(
             valid, min_count=min_edge_count, include_doc_ids=edge_doc_ids
         )
-
-    if catalog:
-        for name, df in tables.items():
-            if name != "docs":  # docs snapshot already committed above
-                catalog.write_snapshot(df, name, snapshot_id)
-        catalog.write_snapshot(audit, "audit", snapshot_id)
-        # expose committed data; public docs view prunes the internal columns
-        tables = {
-            name: catalog.read_table(spark, name) for name in tables  # type: ignore[misc]
-        }
-        tables["docs"] = tables["docs"].drop(*_PRIVATE)
 
     return PipelineResult(
         snapshot_id=snapshot_id, tables=tables, audit=audit, stats=stats

@@ -71,9 +71,30 @@ def extract_archive_members(raw: bytes, fmt: str | None = None) -> list[tuple[st
                 out.append((m.name, fh.read() if fh else b""))
             return out
     if fmt == "gz":
-        # single-member stream; cap the read to the bomb limit + 1 to detect
+        # single-member stream. Decompress in bounded chunks and abort the
+        # moment EITHER limit (absolute size or compression ratio) is
+        # exceeded — reading ratio*len(raw)+1 up front would itself allocate
+        # up to 1000× the input before the check ran, making the bomb guard
+        # the OOM vector.
+        cap = min(MAX_UNCOMPRESSED_SIZE, MAX_COMPRESSION_RATIO * len(raw))
+        chunks: list[bytes] = []
+        total = 0
         with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gf:
-            data = gf.read(MAX_COMPRESSION_RATIO * len(raw) + 1)
-            _bomb_check(len(raw), len(data), 1)
-            return [("member", data)]
+            while True:
+                chunk = gf.read(min(1 << 20, cap + 1 - total))
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                total += len(chunk)
+                if total > cap:
+                    _bomb_check(len(raw), total, 1)  # raises the precise reason
+                    raise ValueError("gzip stream exceeded decompression cap")
+        data = b"".join(chunks)
+        _bomb_check(len(raw), len(data), 1)
+        # .tar.gz/.tgz: gzip wraps a tar stream — re-sniff the payload and
+        # route through the tar branch (the reference archive_worker re-sniffs
+        # extracted members the same way)
+        if sniff_archive(data) == "tar":
+            return extract_archive_members(data, "tar")
+        return [("member", data)]
     raise ValueError(f"Unsupported or unrecognized archive format: {fmt}")

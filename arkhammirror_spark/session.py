@@ -5,7 +5,9 @@ Settings chosen for the 100 TB design point and safe at local[32]:
 - auto broadcast for small dims,
 - Arrow enabled with a bounded batch size (the UDF hot path is Arrow-batched;
   10k rows/batch keeps executor-python memory flat on page-sized documents),
-- ANSI off: the pipeline uses try_-style semantics (invalid dates → null,
+- ANSI on (the Spark-4 / driver default): every query and operator uses
+  try_* functions and overflow-safe int64 arithmetic, so bench and driver
+  sessions share identical semantics (invalid dates → null via try_*,
   matching the reference's skip-on-ValueError behavior).
 """
 
@@ -38,7 +40,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

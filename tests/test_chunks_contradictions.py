@@ -110,3 +110,37 @@ class TestContradictions:
         r = detect_contradictions(claims, threshold=0.5).collect()[0]
         assert abs(r["confidence"] - r["similarity"] * 0.8) < 1e-12
         assert r["severity"] == "high"
+
+    def test_df_cap_survives_adversarial_shared_token(self, spark):
+        """Every claim shares 'the'; the DF cap must keep the candidate join
+        off that corpus-wide key (no O(n²) pair blowup) while still finding
+        the one true contradiction pair via its rare tokens."""
+        n = 400
+        rows = [(i, f"the item{i} value is fine") for i in range(n)]
+        rows += [
+            (n, "the rocket alpha did launch in june"),
+            (n + 1, "the rocket alpha did not launch in june"),
+        ]
+        claims = spark.createDataFrame(rows, "claim_id: long, claim_text: string")
+        from arkhammirror_spark.operators.contradictions import candidate_claim_pairs
+
+        cands = candidate_claim_pairs(claims, threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        assert (n, n + 1) in got
+        # without the cap, 'the'/'is'/'value' keys alone give ~n²/2 ≈ 80k pairs
+        assert len(got) < 50
+
+    def test_df_cap_preserves_similarity_exactness(self, spark):
+        """Similarity is exact full-word-set Jaccard even though the join key
+        excludes common tokens."""
+        claims = spark.createDataFrame(
+            [
+                (1, "zebra quark common common2 common3"),
+                (2, "zebra quark common common2 other"),
+            ],
+            "claim_id: long, claim_text: string",
+        )
+        from arkhammirror_spark.operators.contradictions import candidate_claim_pairs
+
+        r = candidate_claim_pairs(claims, threshold=0.1).collect()[0]
+        assert abs(r["similarity"] - 4 / 6) < 1e-12

@@ -142,3 +142,50 @@ class TestArchives:
         ).collect()
         assert docs[0]["url"] == "https://h/c.zip!doc.txt"
         assert "John Smith works at Acme Corp." in docs[0]["extracted_text"]
+
+
+class TestArchiveGuards:
+    def test_gz_bomb_aborts_without_full_allocation(self):
+        """A gz bomb must raise after at most ~ratio*len(raw) bytes of bounded
+        chunked reads — never allocate the full uncompressed stream first."""
+        import gzip
+
+        import pytest as _pt
+
+        from arkhammirror_spark.reference_impl import archive as arc
+
+        bomb = gzip.compress(b"\x00" * 50_000_000)  # ~1030:1 over the gate
+        with _pt.raises(ValueError):
+            arc.extract_archive_members(bomb)
+
+    def test_gz_cap_is_min_of_limits(self, monkeypatch):
+        """When ratio*len(raw) exceeds MAX_UNCOMPRESSED_SIZE the absolute cap
+        must bound the read (the old guard read ratio*len+1 regardless)."""
+        import gzip
+
+        import pytest as _pt
+
+        from arkhammirror_spark.reference_impl import archive as arc
+
+        monkeypatch.setattr(arc, "MAX_UNCOMPRESSED_SIZE", 1000)
+        payload = gzip.compress(b"a" * 5000)  # ratio fine, size over the cap
+        with _pt.raises(ValueError, match="large"):
+            arc.extract_archive_members(payload)
+
+    def test_tgz_members_routed_through_tar(self):
+        """.tar.gz payloads must re-sniff after gunzip and explode tar members
+        rather than emitting one blob of raw tar bytes."""
+        import gzip
+        import io
+        import tarfile
+
+        from arkhammirror_spark.reference_impl.archive import extract_archive_members
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in [("a.txt", b"alpha"), ("b.txt", b"beta")]:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        tgz = gzip.compress(buf.getvalue())
+        assert extract_archive_members(tgz) == [("a.txt", b"alpha"), ("b.txt", b"beta")]

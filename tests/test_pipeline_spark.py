@@ -221,3 +221,46 @@ class TestExtractionStats:
         ).collect()
         via_names = comention_edges_from_name_sets(docs_raw, min_count=2).collect()
         assert sorted(map(tuple, via_mentions)) == sorted(map(tuple, via_names))
+
+
+class TestRunLevelCommit:
+    def test_orphan_snapshot_is_invisible_and_reextracted(self, spark, tmp_path):
+        """A docs snapshot without its run manifest (crash between table
+        writes) must not count as committed: resume re-extracts those urls and
+        downstream tables end up complete."""
+        from arkhammirror_spark.catalog import ParquetSnapshotCatalog
+
+        out = str(tmp_path / "snap")
+        pages = gen_pages_df(spark, 60, seed=7)
+        cat = ParquetSnapshotCatalog(out)
+        # simulate the crash window: docs snapshot on disk, run never committed
+        from arkhammirror_spark.operators.extract import extract_docs
+        from arkhammirror_spark.pipeline import partition_pages
+
+        docs_raw = extract_docs(partition_pages(pages, 4), include_mentions=True)
+        cat.write_snapshot(docs_raw, "docs", "orphanrun")
+        assert cat.read_table(spark, "docs") is None  # invisible without a run
+
+        res = run_pipeline(spark, pages, out_dir=out, num_partitions=4)
+        assert res.tables["docs"].select("url").distinct().count() == 60
+        assert res.tables["mentions"].count() > 0
+        audit = res.audit.collect()
+        assert sum(r["input_rows"] for r in audit) == 60  # nothing skipped
+
+    def test_incremental_equals_fresh_for_derived_aggregates(self, spark, tmp_path):
+        """entities/edges after two incremental runs must equal a fresh
+        single-shot run over the union (counts not split across snapshots,
+        min_count and limit applied globally)."""
+        out_inc = str(tmp_path / "inc")
+        out_full = str(tmp_path / "full")
+        all_pages = gen_pages_df(spark, 120, seed=11)
+        first = all_pages.limit(60)
+
+        run_pipeline(spark, first, out_dir=out_inc, num_partitions=4)
+        res_inc = run_pipeline(spark, all_pages, out_dir=out_inc, num_partitions=4)
+        res_full = run_pipeline(spark, all_pages, out_dir=out_full, num_partitions=4)
+
+        for table in ("entities", "edges"):
+            inc_rows = sorted(map(tuple, res_inc.tables[table].collect()))
+            full_rows = sorted(map(tuple, res_full.tables[table].collect()))
+            assert inc_rows == full_rows, table

@@ -57,3 +57,45 @@ def test_filter_pushdown_reaches_parquet(spark):
     assert any("l_shipdate" in p for p in pushed)
     pushed = pushed_filters(QUERIES["embedding_knn"](spark, SF))
     assert any("vec_id" in p for p in pushed)
+
+
+def test_fuzzy_linking_is_blocked_equi_join(spark):
+    """The fuzzy tier must compile to a shuffled/broadcast HASH equi-join on
+    the block key — never a BroadcastNestedLoopJoin (O(M×C) Levenshtein)."""
+    from arkhammirror_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("u1", "Acme Corp"), ("u2", "Acme Corpx")], "url: string, text: string"
+    )
+    canon = spark.createDataFrame(
+        [("acme corp", "C1")], "name_lower: string, canonical_id: string"
+    )
+    plan = (
+        link_mentions(mentions, canon)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_contradiction_candidates_no_cartesian(spark):
+    from arkhammirror_spark.operators.contradictions import candidate_claim_pairs
+
+    claims = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "claim_id: long, claim_text: string"
+    )
+    plan = (
+        candidate_claim_pairs(claims)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the only permissible nested-loop is the 1-row corpus-count broadcast
+    # (cost O(|vocab|)); the claim-pair join itself must never nested-loop
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "cid" not in line and "id_a" not in line, line
+            assert "_n#" in line, line  # scalar count build side
