@@ -241,17 +241,21 @@ def simhash64(
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_neardup(
-    df: DataFrame,
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sig_col: str = "simhash",
     max_hamming: int = 3,
-    band_bits: int = 16,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Hamming-≤k pairs via 4-band SimHash blocking (pigeonhole: any pair
-    within Hamming 3 shares at least one of four 16-bit bands)."""
-    sigs = simhash64(df, id_col, text_col)
-    n_bands = 64 // band_bits
+    """Hamming-≤k pairs from precomputed SimHash signatures via banded
+    blocking. Bands = max_hamming + 1 (pigeonhole: ≤k differing bits leave at
+    least one band identical), so the banded join returns EXACTLY the
+    brute-force Hamming-ball pairs at ~1/2^band_bits the comparisons."""
+    n_bands = max_hamming + 1
+    band_bits = n_bits // n_bands
+    if sig_col != "simhash":
+        sigs = sigs.withColumnRenamed(sig_col, "simhash")
     banded = sigs.select(
         F.col(id_col),
         "simhash",
@@ -287,3 +291,16 @@ def simhash_neardup(
     return cands.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,  # kept for signature compat; 64/(k+1) bands derive it
+) -> DataFrame:
+    """Hamming-≤k pairs via banded SimHash blocking (pigeonhole: any pair
+    within Hamming k shares at least one of the k+1 bands)."""
+    sigs = simhash64(df, id_col, text_col)
+    return simhash_pairs_from_sigs(sigs, id_col, max_hamming=max_hamming)

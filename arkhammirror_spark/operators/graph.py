@@ -120,6 +120,83 @@ def ego_network(edges: DataFrame, center: str, depth: int = 1) -> DataFrame:
 # ----------------------------- distributed (beyond reference caps) ---------
 
 
+def graph_statistics(edges: DataFrame) -> DataFrame:
+    """Whole-graph statistics (algorithms.py:707-760): node count, edge
+    count, density 2E/(N(N−1)), average degree 2E/N — one aggregation, no
+    collect, so it holds at any graph size."""
+    nodes = (
+        edges.select(F.col("entity_a").alias("name"))
+        .unionAll(edges.select(F.col("entity_b").alias("name")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.when(
+                F.col("n_nodes") > 1,
+                2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+            ).otherwise(0.0).alias("density"),
+            F.when(F.col("n_nodes") > 0, 2.0 * F.col("n_edges") / F.col("n_nodes"))
+            .otherwise(0.0)
+            .alias("avg_degree"),
+        )
+    )
+
+
+def pagerank_distributed(
+    edges: DataFrame, damping: float = 0.85, iterations: int = 20
+) -> DataFrame:
+    """Distributed power iteration on the undirected co-mention graph —
+    the DataFrame sibling of `pagerank` (algorithms.py:496 semantics:
+    r(v) = (1−d)/n + d·Σ_{u∈N(v)} r(u)/deg(u)), for graphs beyond the
+    reference's 500-node cap. One join + agg per iteration; the symmetric
+    edge list is the only reused frame (slim: two string columns).
+    Returns (name, rank)."""
+    sym = (
+        edges.select(F.col("entity_a").alias("src"), F.col("entity_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        sym.unpersist()
+        return edges.sparkSession.createDataFrame([], "name string, rank double")
+    ranks = deg.select(
+        F.col("src").alias("name"), F.lit(1.0 / n).alias("rank"), "deg"
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.name)
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            deg.join(contrib, deg.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("name"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                ).alias("rank"),
+                "deg",
+            )
+            # truncate lineage per round (see connected_components_distributed)
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select("name", "rank")
+    sym.unpersist()
+    return out
+
+
 def connected_components_distributed(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -157,6 +234,12 @@ def connected_components_distributed(
                 ).alias("component"),
             )
         )
+        # localCheckpoint truncates the logical plan each round: without it
+        # the lineage (and Catalyst planning time) grows exponentially with
+        # iterations — the printed plan at 15 rounds held >150 copies of the
+        # upstream subtree. On a cluster, set a checkpoint dir and swap for
+        # .checkpoint() to also survive executor loss.
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "name")
@@ -164,7 +247,7 @@ def connected_components_distributed(
             .limit(1)
             .count()
         )
-        labels = updated.persist()
+        labels = updated
         if changed == 0:
             break
     sym.unpersist()

@@ -188,15 +188,36 @@ def exact_match_boost(
     )
 
 
-def autocomplete(
-    docs: DataFrame, prefix: str, col: str = "text", limit: int = 10
+def entity_boost(
+    results: DataFrame,
+    priority_entities: list[str],
+    entities_col: str = "entities",
+    score_col: str = "score",
+    boost: float = 0.2,
 ) -> DataFrame:
-    """Prefix completion (keyword.py:346-378 LIKE 'prefix%')."""
-    return (
-        docs.where(F.col(col).startswith(prefix))
-        .orderBy(F.col(col))
-        .limit(limit)
+    """ranking.py:45-77 rerank_by_entities: score ×= (1 + boost × matches)
+    where matches = |priority ∩ result.entities| (set intersection)."""
+    if not priority_entities:
+        return results
+    prio = F.array(*[F.lit(e) for e in sorted(set(priority_entities))])
+    matches = F.size(F.array_intersect(F.array_distinct(F.col(entities_col)), prio))
+    return results.withColumn(
+        score_col,
+        F.when(matches > 0, F.col(score_col) * (1.0 + boost * matches)).otherwise(
+            F.col(score_col)
+        ),
     )
+
+
+def autocomplete(
+    docs: DataFrame, prefix: str, col: str = "text", limit: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Prefix completion (keyword.py:346-378 LIKE 'prefix%'). `tiebreak_col`
+    makes the LIMIT deterministic when completions collide (duplicate texts
+    are planted by the corpus generator)."""
+    order = [F.col(col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    return docs.where(F.col(col).startswith(prefix)).orderBy(*order).limit(limit)
 
 
 def recency_boost(
@@ -225,12 +246,14 @@ def recency_boost(
 
 
 def dedupe_results(
-    results: DataFrame, by: str = "doc_id", score_col: str = "score"
+    results: DataFrame, by: str = "doc_id", score_col: str = "score",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """ranking.py:125-160: keep the highest-scoring row per key."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(by).orderBy(F.desc(score_col))
+    order = [F.desc(score_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(by).orderBy(*order)
     return (
         results.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
@@ -243,11 +266,14 @@ def diversify_by_source(
     source_col: str = "doc_id",
     score_col: str = "score",
     max_per_source: int = 3,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """ranking.py:189-216: cap results per source, keeping the best-scored."""
+    """ranking.py:189-216: cap results per source, keeping the best-scored.
+    `tiebreak_col` makes the cut deterministic under score ties."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(source_col).orderBy(F.desc(score_col))
+    order = [F.desc(score_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
         results.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= max_per_source)

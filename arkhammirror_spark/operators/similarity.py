@@ -132,6 +132,63 @@ def lsh_bucket_topk(
     )
 
 
+def pairwise_cosine_above_banded(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH (OR-construction):
+    B bands of R sign-bits each; a pair is a candidate if ANY band matches,
+    then exact cosine ≥ threshold verifies. For cosine ≥ 0.9999 (θ ≈ 0.014
+    rad) the per-pair miss probability is (1 − (1−θ/π)^R)^B ≈ 1e-14 at
+    B=8, R=4 — the hyperplane analogue of the MinHash-LSH band join in
+    operators.dedup, and the scale path over the single-bucket variant
+    (which has no amplification and misses plane-straddling pairs)."""
+    v = F.col(vec_col).cast("array<double>")
+    total_planes = bands * rows_per_band
+    bits = emb.select(
+        F.col(id_col), v.alias("v"),
+        hyperplane_bucket(v, total_planes).alias("allbits"),
+    )
+    banded = bits.select(
+        F.col(id_col), "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("allbits"), b * rows_per_band).bitwiseAND(
+                        F.lit((1 << rows_per_band) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, c = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cosine", _score("cosine", F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def pairwise_cosine_above(
     emb: DataFrame,
     threshold: float,

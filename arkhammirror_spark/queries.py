@@ -724,3 +724,8 @@ from .queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_EXT)
+
+from .queries_ext2 import ORACLE_EXT2, QUERIES_EXT2  # noqa: E402
+
+QUERIES.update(QUERIES_EXT2)
+ORACLE_SQL.update(ORACLE_EXT2)

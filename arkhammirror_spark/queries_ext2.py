@@ -1,0 +1,1169 @@
+"""Round-2 driver-contract queries: the operators that were pytest-only in
+round 1 get oracle-checked `queries()` entries here — rerankers, regex
+search, autocomplete, embedding anomaly, interval conflicts, relationship
+dedup, SimHash Hamming pairs, entity linking, contradictions, coreference,
+sentence chunking, connected components, ANN.
+
+Same discipline as queries.py: identical column names/types on both engines,
+deterministic ordering wherever LIMIT/top-N appears, sequential left-fold
+float math, round() on computed floats only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import _cased_spark, _cased_sql, _load
+
+QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_EXT2: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES_EXT2[name] = fn
+        if oracle is not None:
+            ORACLE_EXT2[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Q4 regex search (engines/regex.py presets) — email preset on an enriched
+# corpus (the word soup has no emails; the suffix is identical SQL both sides)
+# ---------------------------------------------------------------------------
+
+def _email_suffix_spark():
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.format_string(
+            " contact user%d@mail%d.example.com ok",
+            F.col("doc_id").cast("int"),
+            (F.col("doc_id") % 7).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+
+_EMAIL_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+           THEN printf(' contact user%d@mail%d.example.com ok', doc_id::INT, (doc_id % 7)::INT)
+           ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS match_text
+FROM t
+"""
+
+
+@register("regex_search_email", _EMAIL_ORACLE)
+def q_regex_search_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import regex_search
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), _email_suffix_spark()).alias("t")
+    )
+    return regex_search(docs, preset="email", id_col="doc_id", text_col="t")
+
+
+# ---------------------------------------------------------------------------
+# Q6 autocomplete (keyword.py:346-378) — deterministic tiebreak on doc_id
+# ---------------------------------------------------------------------------
+
+_AUTOCOMPLETE_ORACLE = """
+SELECT doc_id, text FROM documents
+WHERE starts_with(text, 'key ')
+ORDER BY text, doc_id
+LIMIT 10
+"""
+
+
+@register("autocomplete_prefix", _AUTOCOMPLETE_ORACLE)
+def q_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import autocomplete
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return autocomplete(docs, "key ", col="text", limit=10, tiebreak_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q5 rerankers (ranking.py): dedupe → entity boost → exact-match boost →
+# recency boost → diversify-per-source, chained over clean BM25 scores
+# ---------------------------------------------------------------------------
+
+_RERANK_TERMS = ["customer", "spark", "window"]
+_RERANK_ENTITIES = ["customer", "spark", "merge", "vector"]
+_RERANK_PRIORITY = ["customer", "spark"]
+
+
+@register("reranked_search", None)  # oracle attached below (shares BM25 CTE)
+def q_reranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.search import (
+        bm25_scores,
+        dedupe_results,
+        diversify_by_source,
+        entity_boost,
+        exact_match_boost,
+        recency_boost,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = bm25_scores(docs, _RERANK_TERMS, id_col="doc_id", text_col="text")
+
+    # exercise dedupe_results: union a decayed duplicate, keep the best
+    dup = base.select("doc_id", (F.col("score") * 0.8).alias("score"))
+    merged = dedupe_results(base.unionAll(dup), by="doc_id", score_col="score")
+
+    ents = docs.select(
+        "doc_id",
+        F.filter(
+            F.array(*[F.lit(e) for e in _RERANK_ENTITIES]),
+            lambda e: F.col("text").contains(e),
+        ).alias("entities"),
+    )
+    boosted = entity_boost(
+        merged.join(ents, "doc_id"), _RERANK_PRIORITY, entities_col="entities"
+    )
+    boosted = exact_match_boost(
+        boosted, "slow merge", docs, id_col="doc_id", text_col="text"
+    )
+    dated = boosted.withColumn(
+        "created_at",
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")),
+    )
+    rescored = recency_boost(dated, ts_col="created_at", score_col="score")
+    sourced = rescored.withColumn("source", (F.col("doc_id") % 5).cast("long"))
+    out = diversify_by_source(
+        sourced, source_col="source", score_col="score", max_per_source=3,
+        tiebreak_col="doc_id",
+    )
+    return out.select("doc_id", "source", F.round("score", 6).alias("score"))
+
+
+_RERANK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(lower(text), '\\b\\w+\\b'),
+                     t -> length(t) > 1 AND t NOT IN (
+    'a','an','and','are','as','at','be','by','for','from','has','he','in','is','it',
+    'its','of','on','or','that','the','to','was','were','will','with','this','they',
+    'but','have','had','what','when','where','who','which')) AS tokens
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(tokens)::DOUBLE) AS avg_len FROM base),
+tf AS (
+  SELECT doc_id, len(tokens)::DOUBLE AS doc_len, u.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(tokens) AS term) u
+  WHERE u.term IN ({",".join(f"'{t}'" for t in _RERANK_TERMS)})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY 1),
+raw AS (
+  SELECT doc_id,
+         sum(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
+             * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * doc_len / avg_len))) AS raw
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY 1
+),
+bm25 AS (
+  SELECT doc_id,
+         CASE WHEN (SELECT max(raw) FROM raw) > 0
+              THEN raw / (SELECT max(raw) FROM raw) ELSE 0.0 END AS score
+  FROM raw
+),
+ents AS (
+  SELECT doc_id,
+         list_filter({_RERANK_ENTITIES!r}, e -> contains(text, e)) AS entities,
+         contains(text, 'slow merge') AS has_exact,
+         text
+  FROM documents
+),
+boosted AS (
+  SELECT b.doc_id,
+         b.score
+           * (CASE WHEN len(list_intersect(list_distinct(e.entities),
+                                           {sorted(set(_RERANK_PRIORITY))!r})) > 0
+                   THEN 1.0 + 0.2 * len(list_intersect(list_distinct(e.entities),
+                                                       {sorted(set(_RERANK_PRIORITY))!r}))
+                   ELSE 1.0 END)
+           * (CASE WHEN e.has_exact THEN 1.5 ELSE 1.0 END) AS score
+  FROM bm25 b JOIN ents e USING (doc_id)
+),
+dated AS (
+  SELECT doc_id, score,
+         DATE '2024-01-01' + ((doc_id % 365)::INT) AS created_at
+  FROM boosted
+),
+rescored AS (
+  SELECT doc_id,
+         score * 0.5
+           + (1.0 / (1.0 + datediff('day', created_at,
+                 (SELECT max(created_at) FROM dated)) * 0.1)) * 0.5 AS score,
+         (doc_id % 5)::BIGINT AS source
+  FROM dated
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+  FROM rescored
+)
+SELECT doc_id, source, round(score, 6) AS score FROM ranked WHERE rk <= 3
+"""
+ORACLE_EXT2["reranked_search"] = _RERANK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# A1 embedding anomaly (detector.py:64-137): centroid distance z-score
+# ---------------------------------------------------------------------------
+
+_EMB_ANOM_ORACLE = """
+WITH cdim AS (
+  SELECT g.i AS i, avg(embedding[g.i]::DOUBLE) AS c
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY 1
+),
+centroid AS (SELECT list(c ORDER BY i) AS cvec FROM cdim),
+dists AS (
+  SELECT e.vec_id,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+             i -> (e.embedding[i]::DOUBLE - cvec[i]) * (e.embedding[i]::DOUBLE - cvec[i]))),
+           (a, x) -> a + x)) AS dist
+  FROM embeddings e, centroid
+),
+stats AS (SELECT avg(dist) AS m, stddev_samp(dist) AS s FROM dists)
+SELECT vec_id, round(dist, 4) AS dist,
+       round(abs((dist - m) / s), 4) AS z_score,
+       round(least(1.0, abs((dist - m) / s) / 5.0), 4) AS confidence
+FROM dists, stats
+WHERE s > 0 AND abs((dist - m) / s) > 1.5
+"""
+
+
+@register("embedding_anomaly", _EMB_ANOM_ORACLE)
+def q_embedding_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomalies import embedding_anomalies
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_anomalies(emb, threshold=1.5)
+    return out.select(
+        "vec_id",
+        F.round("dist", 4).alias("dist"),
+        F.round("z_score", 4).alias("z_score"),
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 interval conflicts: adjacent timeline-event gaps per document (two
+# enrichment phrases per doc so every doc has ≥2 events)
+# ---------------------------------------------------------------------------
+
+_TL2 = [
+    "signed on 2024-01-15 ok",
+    "during the third quarter of 2023",
+    "in summer 2019 mostly",
+    "back in the 1990s era",
+    "met January 15, 2024 again",
+]
+
+
+@register("interval_conflicts", None)  # oracle below (reuses the T1 oracle)
+def q_interval_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeline import detect_interval_conflicts, extract_timeline_events
+
+    phr = F.array(*[F.lit(p) for p in _TL2])
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "), F.element_at(phr, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit(" "), F.element_at(phr, ((F.col("doc_id") + 2) % 5 + 1).cast("int")),
+        ).alias("t"),
+    )
+    ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
+    out = detect_interval_conflicts(ev, id_col="doc_id")
+    return out.select(
+        "doc_id", "date_text", "date_start", "prev_date",
+        F.col("gap_days").cast("long").alias("gap_days"),
+    )
+
+
+def _tl2_oracle() -> str:
+    from .queries_ext import _TIMELINE_SQL
+
+    two_phrase = """
+WITH t AS (
+  SELECT doc_id, text || ' ' ||
+    CASE doc_id % 5
+      WHEN 0 THEN 'signed on 2024-01-15 ok'
+      WHEN 1 THEN 'during the third quarter of 2023'
+      WHEN 2 THEN 'in summer 2019 mostly'
+      WHEN 3 THEN 'back in the 1990s era'
+      ELSE 'met January 15, 2024 again' END
+    || ' ' ||
+    CASE (doc_id + 2) % 5
+      WHEN 0 THEN 'signed on 2024-01-15 ok'
+      WHEN 1 THEN 'during the third quarter of 2023'
+      WHEN 2 THEN 'in summer 2019 mostly'
+      WHEN 3 THEN 'back in the 1990s era'
+      ELSE 'met January 15, 2024 again' END AS t
+  FROM documents
+),"""
+    base = _TIMELINE_SQL
+    # swap the single-phrase enrichment CTE for the two-phrase one
+    start = base.index("iso AS (")
+    events_sql = two_phrase + "\n" + base[start:]
+    return f"""
+WITH ev AS ({events_sql}),
+w AS (
+  SELECT doc_id, date_text, date_start,
+         lag(date_start) OVER (PARTITION BY doc_id ORDER BY date_start, date_text) AS prev_date
+  FROM ev
+)
+SELECT doc_id, date_text, date_start, prev_date,
+       datediff('day', prev_date, date_start)::BIGINT AS gap_days
+FROM w WHERE prev_date IS NOT NULL
+"""
+
+
+ORACLE_EXT2["interval_conflicts"] = _tl2_oracle()
+
+
+# ---------------------------------------------------------------------------
+# E11 relationship dedup (shard-entities/shard.py:597-615)
+# ---------------------------------------------------------------------------
+
+
+@register("rels_dedup", None)  # oracle below (reuses the relations CTE)
+def q_rels_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entities import dedup_relationships
+    from .queries_ext import q_relations_cooccur
+
+    rels = q_relations_cooccur(spark, sf_dir)
+    return dedup_relationships(rels)
+
+
+def _rels_dedup_oracle() -> str:
+    from .queries_ext import ORACLE_EXT
+
+    return f"""
+WITH rels AS ({ORACLE_EXT["relations_cooccur"]})
+SELECT lower(source_text) AS source_lower,
+       lower(target_text) AS target_lower,
+       relation_type,
+       min(confidence) AS confidence,
+       count(*) AS n_evidence
+FROM rels GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_EXT2["rels_dedup"] = _rels_dedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball pairing (banded ≡ brute force by pigeonhole) — md5
+# token hashes so both engines derive identical signatures
+# ---------------------------------------------------------------------------
+
+
+@register("simhash_hamming_pairs", None)  # oracle below
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs_from_sigs
+    from .queries_ext import q_simhash_fingerprint
+
+    sigs = q_simhash_fingerprint(spark, sf_dir)  # 16 md5-derived bits
+    pairs = simhash_pairs_from_sigs(
+        sigs, id_col="doc_id", sig_col="simhash", max_hamming=3, n_bits=16
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    from .queries_ext import _SIMHASH_SQL
+
+    return f"""
+WITH sigs AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+ORACLE_EXT2["simhash_hamming_pairs"] = _simhash_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# E12 entity linking: exact tier → blocked fuzzy tier (DuckDB levenshtein
+# replicates the block predicate + in-block verify exactly)
+# ---------------------------------------------------------------------------
+
+
+@register("linked_mentions", None)  # oracle below
+def q_linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entities import aggregate_entities, filter_valid_mentions
+    from .operators.linking import link_mentions
+    from .queries import _mentions_df
+
+    m = _mentions_df(spark, sf_dir).select(
+        "doc_id",
+        F.col("entity_text").alias("text"),
+        F.lit("PERSON").alias("entity_type"),
+    )
+    # one mock-NER pass: checkpoint the slim distinct mention pairs, then
+    # derive BOTH link input and canonical dictionary from it (without this
+    # the mention UDF subtree executes once per join branch)
+    valid = (
+        filter_valid_mentions(m)
+        .select("doc_id", "text")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    canon = (
+        aggregate_entities(
+            valid.withColumn("entity_type", F.lit("PERSON")), doc_col="doc_id"
+        )
+        .where(F.col("doc_count") >= 3)
+        .select("name_lower", F.col("name_lower").alias("canonical_id"))
+    )
+    out = link_mentions(valid, canon)
+    # no_match rows carry NULL ids; '' keeps the output sortable/hashable
+    return out.select(
+        "doc_id", "text",
+        F.coalesce("canonical_id", F.lit("")).alias("canonical_id"),
+        F.round("link_confidence", 4).alias("link_confidence"), "link_reason",
+    )
+
+
+def _linked_oracle() -> str:
+    from .queries import _MENTIONS_CTE, _VALID_SQL
+
+    return (
+        _MENTIONS_CTE
+        + f"""
+, valid AS (SELECT doc_id, entity_text FROM mentions WHERE {_VALID_SQL}),
+dm AS (SELECT DISTINCT doc_id, entity_text AS text FROM valid),
+canon AS (
+  SELECT lower(entity_text) AS clow FROM valid
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+),
+exact AS (
+  SELECT d.doc_id, d.text, c.clow AS cid
+  FROM dm d LEFT JOIN canon c ON lower(d.text) = c.clow
+),
+matched AS (
+  SELECT doc_id, text, cid AS canonical_id,
+         round(1.0, 4) AS link_confidence, 'exact_match' AS link_reason
+  FROM exact WHERE cid IS NOT NULL
+),
+fz AS (
+  SELECT u.doc_id, u.text, c.clow,
+         CASE WHEN c.clow IS NOT NULL
+                   AND abs(length(lower(u.text)) - length(c.clow)) <= 2
+                   AND levenshtein(lower(u.text), c.clow) <= 2
+              THEN levenshtein(lower(u.text), c.clow) END AS dist
+  FROM (SELECT doc_id, text FROM exact WHERE cid IS NULL) u
+  LEFT JOIN canon c
+    ON substr(lower(u.text), 1, 1) = substr(c.clow, 1, 1)
+   AND (length(c.clow) // 4) BETWEEN (length(lower(u.text)) // 4) - 1
+                                 AND (length(lower(u.text)) // 4) + 1
+),
+ranked AS (
+  SELECT doc_id, text,
+         CASE WHEN dist IS NOT NULL THEN clow END AS clow_ok, dist,
+         row_number() OVER (
+           PARTITION BY doc_id, text
+           ORDER BY dist ASC NULLS LAST,
+                    (CASE WHEN dist IS NOT NULL THEN clow END) ASC NULLS LAST
+         ) AS rk
+  FROM fz
+),
+fuzzy AS (
+  SELECT doc_id, text, coalesce(clow_ok, '') AS canonical_id,
+         round(CASE WHEN clow_ok IS NOT NULL THEN 1.0 - dist / 10.0 ELSE 0.0 END, 4)
+           AS link_confidence,
+         CASE WHEN clow_ok IS NOT NULL THEN 'fuzzy_match' ELSE 'no_match' END
+           AS link_reason
+  FROM ranked WHERE rk = 1
+)
+SELECT * FROM matched UNION ALL SELECT * FROM fuzzy
+"""
+    )
+
+
+ORACLE_EXT2["linked_mentions"] = _linked_oracle()
+
+
+# ---------------------------------------------------------------------------
+# CD1 contradictions: DF-capped candidate join + negation/numeric verify.
+# Claims are derived deterministically (block-shared template + per-doc
+# negation/number variants) — identical SQL on both engines, including the
+# DF-cap candidate rule.
+# ---------------------------------------------------------------------------
+
+
+def _claims_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        F.col("doc_id").alias("claim_id"),
+        F.format_string(
+            "block%d metric alpha beta report value is %s at %d end %s",
+            (F.col("doc_id") - F.col("doc_id") % 10).cast("int"),
+            F.when(F.col("doc_id") % 2 == 0, "ready").otherwise("not ready"),
+            (F.lit(100) + 100 * (F.col("doc_id") % 3)).cast("int"),
+            F.regexp_extract(F.col("text"), r"^(\S+)", 1),
+        ).alias("claim_text"),
+    )
+
+
+_CLAIMS_SQL = """
+SELECT doc_id AS claim_id,
+       printf('block%d metric alpha beta report value is %s at %d end %s',
+              (doc_id - doc_id % 10)::INT,
+              CASE WHEN doc_id % 2 = 0 THEN 'ready' ELSE 'not ready' END,
+              (100 + 100 * (doc_id % 3))::INT,
+              regexp_extract(text, '^(\\S+)', 1)) AS claim_text
+FROM documents
+"""
+
+
+@register("claim_contradictions", None)  # oracle below
+def q_claim_contradictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.contradictions import detect_contradictions
+
+    claims = _claims_frame(spark, sf_dir)
+    out = detect_contradictions(claims, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", "contradiction_type", "severity",
+        F.round("similarity", 6).alias("similarity"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+_CONTRA_ORACLE = f"""
+WITH claims AS ({_CLAIMS_SQL}),
+toks AS (
+  SELECT claim_id AS cid, claim_text AS ctext,
+         list_distinct(list_filter(string_split_regex(lower(claim_text), '\\s+'),
+                                   w -> length(w) > 0)) AS ws
+  FROM claims
+),
+ex AS (SELECT cid, u.w FROM toks, LATERAL (SELECT unnest(ws) AS w) u),
+nclaims AS (SELECT count(*) AS n FROM claims),
+rare_tokens AS (
+  SELECT w FROM ex, nclaims GROUP BY w, n
+  HAVING count(*) <= greatest(10, ceil(n * 0.01))
+),
+rare AS (SELECT cid, w FROM ex WHERE w IN (SELECT w FROM rare_tokens)),
+cand AS (
+  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+  FROM rare a JOIN rare b ON a.w = b.w AND a.cid < b.cid
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, ta.ctext AS text_a, tb.ctext AS text_b,
+         len(list_intersect(ta.ws, tb.ws))::DOUBLE
+           / len(list_distinct(list_concat(ta.ws, tb.ws))) AS similarity
+  FROM cand c
+  JOIN toks ta ON ta.cid = c.id_a
+  JOIN toks tb ON tb.cid = c.id_b
+  WHERE len(list_intersect(ta.ws, tb.ws))::DOUBLE
+          / len(list_distinct(list_concat(ta.ws, tb.ws))) >= 0.5
+),
+verified AS (
+  SELECT id_a, id_b, similarity,
+         lower(text_a) AS ta, lower(text_b) AS tb,
+         ((regexp_matches(lower(text_a), '\\bnot\\b') AND regexp_matches(lower(text_b), '\\bis\\b'))
+          OR (regexp_matches(lower(text_b), '\\bnot\\b') AND regexp_matches(lower(text_a), '\\bis\\b'))
+          OR (regexp_matches(lower(text_a), '\\bno\\b') AND regexp_matches(lower(text_b), '\\byes\\b'))
+          OR (regexp_matches(lower(text_b), '\\bno\\b') AND regexp_matches(lower(text_a), '\\byes\\b'))
+          OR (regexp_matches(lower(text_a), '\\bnever\\b') AND regexp_matches(lower(text_b), '\\balways\\b'))
+          OR (regexp_matches(lower(text_b), '\\bnever\\b') AND regexp_matches(lower(text_a), '\\balways\\b'))
+          OR (regexp_matches(lower(text_a), '\\bdid not\\b') AND regexp_matches(lower(text_b), '\\bdid\\b'))
+          OR (regexp_matches(lower(text_b), '\\bdid not\\b') AND regexp_matches(lower(text_a), '\\bdid\\b'))
+         ) AS negation,
+         (len(regexp_extract_all(lower(text_a), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b')) > 0
+          AND len(regexp_extract_all(lower(text_b), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b')) > 0
+          AND regexp_extract_all(lower(text_a), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b')
+              <> regexp_extract_all(lower(text_b), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b')
+          AND len(list_intersect(
+                list_distinct(list_filter(string_split_regex(
+                  regexp_replace(lower(text_a), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b', 'NUM', 'g'), '\\s+'), w -> length(w) > 0)),
+                list_distinct(list_filter(string_split_regex(
+                  regexp_replace(lower(text_b), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b', 'NUM', 'g'), '\\s+'), w -> length(w) > 0))))::DOUBLE
+              / len(list_distinct(list_concat(
+                list_distinct(list_filter(string_split_regex(
+                  regexp_replace(lower(text_a), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b', 'NUM', 'g'), '\\s+'), w -> length(w) > 0)),
+                list_distinct(list_filter(string_split_regex(
+                  regexp_replace(lower(text_b), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b', 'NUM', 'g'), '\\s+'), w -> length(w) > 0)))))
+              > 0.7
+         ) AS numeric_mismatch
+  FROM pairs
+)
+SELECT id_a, id_b,
+       CASE WHEN negation THEN 'direct' ELSE 'numeric' END AS contradiction_type,
+       CASE WHEN negation THEN 'high' ELSE 'medium' END AS severity,
+       round(similarity, 6) AS similarity,
+       round(similarity * (CASE WHEN negation THEN 0.8 ELSE 0.7 END), 6) AS confidence
+FROM verified
+WHERE negation OR numeric_mismatch
+"""
+ORACLE_EXT2["claim_contradictions"] = _CONTRA_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# E13 coreference — the reference scanner (resolve_coreferences) on Spark,
+# reproduced in SQL via the window-containment match (the appended pronoun
+# phrase sits after all mentions, so each pronoun resolves to the mention
+# matching at the largest position; ties break to the later mention in
+# list order, exactly as the scanner's overwrite does)
+# ---------------------------------------------------------------------------
+
+_COREF_SUFFIX = " later he agreed and she left"
+
+
+@register("coref_resolutions", None)  # oracle below
+def q_coref_resolutions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .reference_impl.coreference import resolve_coreferences
+    from .reference_impl.ner import mock_ner
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(_cased_spark(F.col("text")), F.lit(_COREF_SUFFIX)).alias("t"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("pronoun", StringType(), False),
+            StructField("resolved_to", StringType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                res = resolve_coreferences(t or "", mock_ner(t or ""))
+                for pron, ent in res.items():
+                    rows.append(
+                        {"doc_id": doc_id, "pronoun": pron, "resolved_to": ent}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "pronoun", "resolved_to"])
+
+    return docs.mapInPandas(_run, schema)
+
+
+def _coref_oracle() -> str:
+    from .queries import _MENTIONS_CTE
+
+    cte = _MENTIONS_CTE.replace(
+        " AS t FROM documents",
+        f" || ' {_COREF_SUFFIX.strip()}' AS t FROM documents",
+    ).replace(
+        "SELECT r.doc_id, string_agg(r.w, ' ' ORDER BY r.pos) AS entity_text",
+        "SELECT r.doc_id, string_agg(r.w, ' ' ORDER BY r.pos) AS entity_text,\n"
+        "         a.start_pos AS mpos",
+    )
+    return (
+        cte
+        + """
+, ments AS (
+  SELECT doc_id, entity_text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS midx,
+         string_split(entity_text, ' ') AS ew
+  FROM mentions
+),
+docwords AS (
+  SELECT doc_id, list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS dws
+  FROM cased
+),
+matches AS (
+  SELECT m.doc_id, g.i, m.midx, m.entity_text
+  FROM ments m JOIN docwords w USING (doc_id),
+       LATERAL (SELECT unnest(generate_series(1, len(w.dws))) AS i) g
+  WHERE list_has_all(list_slice(w.dws, g.i, g.i + len(m.ew) - 1), m.ew)
+),
+best AS (
+  SELECT doc_id, entity_text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i DESC, midx DESC) AS rk
+  FROM matches
+)
+SELECT b.doc_id, p.pronoun, b.entity_text AS resolved_to
+FROM best b, (VALUES ('he'), ('she')) p(pronoun)
+WHERE b.rk = 1
+"""
+    )
+
+
+ORACLE_EXT2["coref_resolutions"] = _coref_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C2 sentence chunking (chunker.py:112-197 greedy packing) — recursive-CTE
+# oracle carrying the pack state (pending text, raw-size sum, chunk index,
+# lossy char_start bookkeeping) sentence by sentence
+# ---------------------------------------------------------------------------
+
+_C2_SIZE = 120
+
+
+@register("chunk_sentences", None)  # oracle below
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .reference_impl.chunker import chunk_sentences
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        _cased_spark(F.regexp_replace(F.col("text"), r" the ", ". The ")).alias("t"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("chunk_index", LongType(), False),
+            StructField("chunk_text", StringType(), False),
+            StructField("char_start", LongType(), False),
+            StructField("char_end", LongType(), False),
+            StructField("token_count", LongType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                for c in chunk_sentences(t or "", chunk_size=_C2_SIZE):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_index": c["chunk_index"],
+                            "chunk_text": c["text"],
+                            "char_start": c["char_start"],
+                            "char_end": c["char_end"],
+                            "token_count": c["token_count"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(_run, schema)
+
+
+_C2_ORACLE = f"""
+WITH RECURSIVE cased AS (
+  SELECT doc_id, {_cased_sql("replace(text, ' the ', '. The ')")} AS t FROM documents
+),
+sent_raw AS (
+  SELECT doc_id, g.i AS i,
+         trim(parts[g.i], ' ' || chr(9) || chr(10) || chr(13)) AS s
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(t, '([.!?])\\s+([A-Z])', '\\1' || chr(1) || '\\2', 'g'), chr(1)) AS parts
+    FROM cased
+  ), LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+),
+sent AS (
+  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sidx
+  FROM sent_raw WHERE s <> ''
+),
+pack AS (
+  SELECT doc_id, sidx, s AS pending, length(s) AS psz,
+         0 AS cidx, 0 AS cstart,
+         NULL::VARCHAR AS emit_text, 0 AS emit_idx, 0 AS emit_start
+  FROM sent WHERE sidx = 1
+  UNION ALL
+  SELECT s.doc_id, s.sidx,
+         CASE WHEN p.psz + length(s.s) > {_C2_SIZE} THEN s.s
+              ELSE p.pending || ' ' || s.s END,
+         CASE WHEN p.psz + length(s.s) > {_C2_SIZE} THEN length(s.s)
+              ELSE p.psz + length(s.s) END,
+         CASE WHEN p.psz + length(s.s) > {_C2_SIZE} THEN p.cidx + 1 ELSE p.cidx END,
+         CASE WHEN p.psz + length(s.s) > {_C2_SIZE}
+              THEN p.cstart + length(p.pending) ELSE p.cstart END,
+         CASE WHEN p.psz + length(s.s) > {_C2_SIZE} THEN p.pending END,
+         p.cidx, p.cstart
+  FROM pack p JOIN sent s ON s.doc_id = p.doc_id AND s.sidx = p.sidx + 1
+),
+emitted AS (
+  SELECT doc_id, emit_idx AS chunk_index, emit_text AS chunk_text,
+         emit_start AS char_start
+  FROM pack WHERE emit_text IS NOT NULL
+  UNION ALL
+  -- final flush: the pack state at each doc's last sentence
+  SELECT doc_id, cidx, pending, cstart
+  FROM (
+    SELECT doc_id, cidx, pending, cstart,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sidx DESC) AS rk
+    FROM pack
+  ) WHERE rk = 1
+)
+SELECT doc_id, chunk_index::BIGINT AS chunk_index, chunk_text,
+       char_start::BIGINT AS char_start,
+       (char_start + length(chunk_text))::BIGINT AS char_end,
+       len(regexp_extract_all(chunk_text, '\\S+'))::BIGINT AS token_count
+FROM emitted
+"""
+ORACLE_EXT2["chunk_sentences"] = _C2_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# §2.5 distributed connected components — oracle = recursive transitive
+# closure + min-reachable label (identical semantics to min-label propagation)
+# ---------------------------------------------------------------------------
+
+
+@register("graph_components", None)  # oracle below
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components_distributed
+    from .queries import q_comention_edges
+
+    edges = q_comention_edges(spark, sf_dir)
+    return connected_components_distributed(edges, max_iterations=15)
+
+
+def _cc_oracle() -> str:
+    from .queries import ORACLE_SQL as _BASE
+
+    return f"""
+WITH RECURSIVE edges AS ({_BASE["comention_edges"]}),
+sym AS (
+  SELECT entity_a AS src, entity_b AS dst FROM edges
+  UNION
+  SELECT entity_b AS src, entity_a AS dst FROM edges
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS name, min(dst) AS component FROM reach GROUP BY 1
+"""
+
+
+ORACLE_EXT2["graph_components"] = _cc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 distributed PageRank (3 unrolled iterations on both engines)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+@register("graph_pagerank", None)  # oracle below
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_distributed
+    from .queries import q_comention_edges
+
+    edges = q_comention_edges(spark, sf_dir)
+    pr = pagerank_distributed(edges, damping=0.85, iterations=_PR_ITERS)
+    return pr.select("name", F.round("rank", 6).alias("rank"))
+
+
+def _pr_oracle() -> str:
+    from .queries import ORACLE_SQL as _BASE
+
+    iters = ""
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        iters += f""",
+c{t} AS (
+  SELECT s.dst, sum(r.rank / r.deg) AS inc
+  FROM sym s JOIN {prev} r ON s.src = r.name GROUP BY 1
+),
+r{t} AS (
+  SELECT d.src AS name,
+         (1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inc, 0.0) AS rank,
+         d.deg
+  FROM deg d LEFT JOIN c{t} c ON d.src = c.dst, nn
+)"""
+        prev = f"r{t}"
+    return f"""
+WITH edges AS ({_BASE["comention_edges"]}),
+sym AS (
+  SELECT entity_a AS src, entity_b AS dst FROM edges
+  UNION
+  SELECT entity_b AS src, entity_a AS dst FROM edges
+),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT d.src AS name, 1.0 / nn.n AS rank, d.deg FROM deg d, nn){iters}
+SELECT name, round(rank, 6) AS rank FROM {prev}
+"""
+
+
+ORACLE_EXT2["graph_pagerank"] = _pr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + ANN over a derived corpus with planted near-duplicates
+# (vec := block-anchor vector + tiny deterministic perturbation — the raw
+# embeddings are uncorrelated random points, where no LSH can beat a scan)
+# ---------------------------------------------------------------------------
+
+
+def _derived_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = emb.select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    return (
+        emb.withColumn("anchor_id", F.col("vec_id") - F.col("vec_id") % 10)
+        .join(anchors, "anchor_id")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("av"),
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda a, j: a
+                + F.lit(0.001)
+                * (F.col("vec_id") % 10).cast("double")
+                * (((j + F.col("vec_id")) % 7) - 3).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+
+
+_DERIVED_EMB_SQL = """
+  SELECT d.vec_id,
+         list_transform(generate_series(1, 64),
+           j -> a.embedding[j]::DOUBLE
+                + 0.001 * (d.vec_id % 10) * ((((j - 1) + d.vec_id) % 7) - 3)) AS v
+  FROM embeddings d
+  JOIN embeddings a ON a.vec_id = d.vec_id - d.vec_id % 10
+"""
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+    "i -> ({a}[i]) * ({b}[i]))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_FOLD_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_FOLD_DOT.format(a=a, b=a)}) * sqrt({_FOLD_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register("embedding_neardup", None)  # oracle below
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with cosine ≥ 0.999 via banded hyperplane LSH + exact verify.
+    The brute-force SQL is a valid oracle: per-pair miss probability at
+    B=8, R=4 and θ ≤ 0.02 rad is ~1e-13 (see pairwise_cosine_above_banded)."""
+    from .operators.similarity import pairwise_cosine_above_banded
+
+    d = _derived_emb(spark, sf_dir)
+    pairs = pairwise_cosine_above_banded(d, threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_EXT2["embedding_neardup"] = f"""
+WITH derived AS ({_DERIVED_EMB_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cos('a.v', 'b.v')}, 6) AS cosine
+FROM derived a JOIN derived b ON a.vec_id < b.vec_id
+WHERE {_sql_cos('a.v', 'b.v')} >= 0.999
+"""
+
+
+@register("ann_lsh_topk", None)  # rows-only: single-bucket LSH is approximate
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 scale path: hyperplane-bucket ANN with Hamming-1 multiprobe.
+    Deliberately NO SQL oracle — single-bucket LSH trades recall for the
+    1/2^H scan prune (measured ~0.9 recall@10 on the planted near-dups);
+    `embedding_knn` is the exact-oracle baseline and `embedding_neardup`
+    the amplified-LSH exact path."""
+    from .operators.similarity import lsh_bucket_topk
+
+    d = _derived_emb(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    out = lsh_bucket_topk(d.where(F.col("vec_id") != 0), qv, k=10, n_planes=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# S5-S10 format extracts + S11 archive explode as driver-gate entries: the
+# fixtures are deterministic bytes (pinned zip epoch), so the oracle is a
+# constant VALUES table of sha256(extracted_text) — the Spark side does the
+# real parse work through extract_docs/explode_archives
+# ---------------------------------------------------------------------------
+
+
+def _format_fixture_pages(spark: SparkSession):
+    import datetime as dt
+
+    from .reference_impl.ooxml import make_docx, make_xlsx
+    from .reference_impl.pdfmini import make_pdf
+
+    ts = dt.datetime(2026, 1, 1)
+    body = "John Smith met Acme Corp in Paris. The merger closed in June 2024."
+    fixtures = [
+        ("fx://pdf", make_pdf([["John Smith met Acme Corp.", "Page one line."],
+                               ["Second page content here."]]), None, "pdf"),
+        ("fx://docx", make_docx(["Heading Fixture", "John Smith met Acme Corp."],
+                                [[["person", "org"], ["John Smith", "Acme Corp"]]]), None, "docx"),
+        ("fx://xlsx", make_xlsx({"Ledger": [["person", "org"], ["John Smith", "Acme Corp"]]}), None, "xlsx"),
+        ("fx://eml", (b"From: a.b@mail.example\r\nSubject: Fixture\r\n\r\n<html><body><p>"
+                      + body.encode() + b"</p></body></html>"), None, "eml"),
+        ("fx://csv", b"name,org\r\nJohn Smith,Acme Corp\r\nJane Roe,Globex\r\n", None, "csv"),
+        ("fx://txt-utf16", body.encode("utf-16"), None, "text"),
+        ("fx://html", (b"<html><head><title>T</title><script>junk()</script></head>"
+                       b"<body><nav>menu</nav><p>" + body.encode() + b"</p></body></html>"), None, "html"),
+    ]
+    return spark.createDataFrame(
+        [(u, ts, p, t) for (u, p, t, _k) in fixtures],
+        "url: string, warc_ts: timestamp, html: binary, text: string",
+    )
+
+
+@register("format_extracts", None)  # oracle (VALUES) attached at import below
+def q_format_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import extract_docs
+
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = extract_docs(_format_fixture_pages(spark))
+    return docs.select(
+        "url", "lang", F.sha2(F.col("extracted_text"), 256).alias("text_sha"),
+    )
+
+
+def _archive_fixture_pages(spark: SparkSession):
+    import gzip
+    import io
+    import tarfile
+
+    from .reference_impl.ooxml import _zip_writestr  # pinned DOS epoch
+
+    zbuf = io.BytesIO()
+    import zipfile
+
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        _zip_writestr(zf, "a.txt", b"alpha text")
+        _zip_writestr(zf, "docs/b.txt", b"beta text")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        data = b"tar member text"
+        info = tarfile.TarInfo("t.txt")
+        info.size = len(data)
+        info.mtime = 0
+        tf.addfile(info, io.BytesIO(data))
+    tgz = gzip.compress(tbuf.getvalue(), mtime=0)
+    return spark.createDataFrame(
+        [
+            ("fx://zip", zbuf.getvalue()),
+            ("fx://tar", tbuf.getvalue()),
+            ("fx://tgz", tgz),
+        ],
+        "url: string, html: binary",
+    )
+
+
+@register("archive_members", None)  # oracle (VALUES) attached at import below
+def q_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.archives import explode_archives
+
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    members = explode_archives(_archive_fixture_pages(spark))
+    return members.where(F.col("error").isNull()).select(
+        "url",
+        F.col("member_name"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
+    vals = ",\n  ".join(
+        "(" + ", ".join("'" + str(c).replace("'", "''") + "'" for c in r) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n  {vals}\n) AS fx({', '.join(cols)})"
+
+
+# Constant expected values (deterministic fixtures: pinned zip DOS epoch,
+# gzip mtime=0, static bytes) — regenerate with scripts/fixture_hashes.py
+ORACLE_EXT2["format_extracts"] = _values_oracle(
+    [
+        ("fx://csv", "en", "743268b229a3daa9462d08755c3d499bf57aeebc0a9d190c1c55fb9a54ab7388"),
+        ("fx://docx", "en", "528f720d8b3a733b6d213d0a2e94acca8b77c8b469983af3b7c32eb7ce7f425f"),
+        ("fx://eml", "en", "986aa082bf32ea3d45c0861656e0bd0dbe1ea32c82423d586243e7c27bbcd54e"),
+        ("fx://html", "en", "ade16935639168950b18dd8fee0bd4cc95215ba740edd73d9b677752c9c8548a"),
+        ("fx://pdf", "en", "7e530d3cfadee3bb87f62daefe12db7593bae680578fda9d813075942d964afd"),
+        ("fx://txt-utf16", "en", "283177874847d060aafb956bbccb6e5640a7ce674d020fd8e5cdd92396c29d18"),
+        ("fx://xlsx", "en", "5e0e20533487cb516b7a3c3f080b4cc2af258c5736a8a45c3a6acc5aea8b9417"),
+    ],
+    ["url", "lang", "text_sha"],
+)
+
+ORACLE_EXT2["archive_members"] = _values_oracle(
+    [
+        ("fx://tar!t.txt", "t.txt", "e79faaf0a722d0c86d2ded74959c5b9e8738ff276c8d6c8de01d8bf2c2e48817"),
+        ("fx://tgz!t.txt", "t.txt", "e79faaf0a722d0c86d2ded74959c5b9e8738ff276c8d6c8de01d8bf2c2e48817"),
+        ("fx://zip!a.txt", "a.txt", "89a17ed624e1586515338bb4f8481788424c93f9836d1e1e382aeb7da5334b0f"),
+        ("fx://zip!docs/b.txt", "docs/b.txt", "97181288664d8e5959e7d7cc6e874d0eda4ad0d8a361ab08aa880246aef2203d"),
+    ],
+    ["url", "member_name", "payload_sha"],
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 graph statistics (algorithms.py:707-760): node/edge counts, density,
+# average degree over the co-mention graph
+# ---------------------------------------------------------------------------
+
+
+@register("graph_stats", None)  # oracle below
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import graph_statistics
+    from .queries import q_comention_edges
+
+    edges = q_comention_edges(spark, sf_dir)
+    st = graph_statistics(edges)
+    return st.select(
+        "n_nodes", "n_edges",
+        F.round("density", 6).alias("density"),
+        F.round("avg_degree", 6).alias("avg_degree"),
+    )
+
+
+def _graph_stats_oracle() -> str:
+    from .queries import ORACLE_SQL as _BASE
+
+    return f"""
+WITH edges AS ({_BASE["comention_edges"]}),
+nodes AS (
+  SELECT entity_a AS name FROM edges UNION SELECT entity_b FROM edges
+),
+c AS (SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+             (SELECT count(*) FROM edges)::BIGINT AS n_edges)
+SELECT n_nodes, n_edges,
+       round(CASE WHEN n_nodes > 1
+                  THEN 2.0 * n_edges / (n_nodes * (n_nodes - 1)) ELSE 0.0 END, 6)
+         AS density,
+       round(CASE WHEN n_nodes > 0
+                  THEN 2.0 * n_edges / n_nodes ELSE 0.0 END, 6) AS avg_degree
+FROM c
+"""
+
+
+ORACLE_EXT2["graph_stats"] = _graph_stats_oracle()

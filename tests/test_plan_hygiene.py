@@ -14,15 +14,29 @@ from arkhammirror_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose semantics genuinely need one Arrow-batched python node
-_ARROW_OK = {
-    "mentions",
-    "entities",
-    "comention_edges",
-    "claims",
-    "relations_cooccur",
-    "chunk_fixed",
-    "edge_degrees",
+# (min, max) Arrow-batched python nodes a query's plan may print. Queries
+# whose semantics genuinely need grouped-pandas execution get exactly one
+# node per branch; plans that print a reused subtree in several branches
+# (execution reuses the exchange) get a wider bound.
+_ARROW_BOUNDS = {
+    "mentions": (1, 1),
+    "entities": (1, 1),
+    "comention_edges": (1, 1),
+    "claims": (1, 1),
+    "relations_cooccur": (1, 1),
+    "chunk_fixed": (1, 1),
+    "chunk_sentences": (1, 1),
+    "coref_resolutions": (1, 1),
+    "format_extracts": (1, 1),
+    "archive_members": (1, 1),
+    "rels_dedup": (1, 1),
+    "edge_degrees": (1, 2),       # union prints the edge subtree twice
+    "linked_mentions": (0, 1),    # checkpointed mention pass truncates lineage
+    "graph_stats": (1, 3),        # stats crossJoin prints the edge subtree 3x
+    # iterative graph queries checkpoint per round; the residual nodes are
+    # the final round's (bounded) join branches
+    "graph_components": (0, 2),
+    "graph_pagerank": (0, 2),
 }
 
 
@@ -31,14 +45,10 @@ def test_no_row_python_and_bounded_arrow(spark, name):
     df = QUERIES[name](spark, SF)
     assert not has_row_python(df), f"{name}: BatchEvalPython in plan"
     n_py = python_node_count(df)
-    if name == "edge_degrees":
-        # degrees unions the edge subtree twice; the plan prints the Arrow
-        # node in both branches (execution reuses the exchange)
-        assert 1 <= n_py <= 2, f"{name}: got {n_py}"
-    elif name in _ARROW_OK:
-        assert n_py == 1, f"{name}: expected exactly one Arrow node, got {n_py}"
-    else:
-        assert n_py == 0, f"{name}: unexpected python node(s) in a native query"
+    lo, hi = _ARROW_BOUNDS.get(name, (0, 0))
+    assert lo <= n_py <= hi, (
+        f"{name}: expected {lo}..{hi} Arrow node(s), got {n_py}"
+    )
 
 
 def test_document_scans_are_pruned(spark):

@@ -46,12 +46,22 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+# genuinely-approximate or non-SQL ops: the driver records a weaker
+# rows-only check for these; keep the set explicit so nothing silently
+# drops out of oracle coverage
+ROWS_ONLY = {"ann_lsh_topk"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
+    if name in ROWS_ONLY:
+        assert name not in ORACLE_SQL
+        assert len(s_rows) > 0, f"{name}: rows-only query returned nothing"
+        return
     assert name in ORACLE_SQL, f"{name} lacks an oracle"
     res = ddb.sql(ORACLE_SQL[name])
     d_cols = [c for c in res.columns]
