@@ -249,11 +249,13 @@ def simhash_pairs_from_sigs(
     n_bits: int = 64,
 ) -> DataFrame:
     """Hamming-≤k pairs from precomputed SimHash signatures via banded
-    blocking. Bands = max_hamming + 1 (pigeonhole: ≤k differing bits leave at
-    least one band identical), so the banded join returns EXACTLY the
-    brute-force Hamming-ball pairs at ~1/2^band_bits the comparisons."""
-    n_bands = max_hamming + 1
-    band_bits = n_bits // n_bands
+    blocking. Bands ≥ max_hamming + 1 (pigeonhole: ≤k differing bits leave at
+    least one band identical — extra bands only add candidates, never miss),
+    so the banded join returns EXACTLY the brute-force Hamming-ball pairs at
+    ~1/2^band_bits the comparisons. Band width caps at 16 bits so the band
+    mask stays inside int64 even for max_hamming=0."""
+    band_bits = min(16, max(1, n_bits // (max_hamming + 1)))
+    n_bands = n_bits // band_bits
     if sig_col != "simhash":
         sigs = sigs.withColumnRenamed(sig_col, "simhash")
     banded = sigs.select(

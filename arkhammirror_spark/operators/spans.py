@@ -122,3 +122,34 @@ def extract_chunks_strategy(
         return chunk_with_strategy(text, strategy, **kw)
 
     return _explode_per_doc(docs, _fn, CHUNK_STRUCT)
+
+
+def extract_chunks_semantic(
+    docs: DataFrame,
+    chunk_size: int = 500,
+    overlap: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """C3 semantic chunking (chunker.py:199-334): per-doc sentence
+    embeddings from the embed_model singleton (sentence-transformers when
+    importable, deterministic fake otherwise) feed the reference-faithful
+    window-2-cosine breakpoint skeleton. One Arrow pass, embeddings never
+    leave the worker."""
+    from ..reference_impl.semantic_chunker import chunk_semantic
+    from .embed_model import _load_model, fake_embedding
+
+    model_holder: list = []
+
+    def _fn(text: str) -> list[dict]:
+        if not model_holder:  # lazy per-python-worker singleton
+            model_holder.append(_load_model("BAAI/bge-m3"))
+        model = model_holder[0]
+
+        def _embed(sents: list[str]):
+            if model is not None:
+                return [list(map(float, v)) for v in model.encode(sents, batch_size=32)]
+            return [fake_embedding(s, dim=dim) for s in sents]
+
+        return chunk_semantic(text, _embed, chunk_size=chunk_size, overlap=overlap)
+
+    return _explode_per_doc(docs, _fn, CHUNK_STRUCT)

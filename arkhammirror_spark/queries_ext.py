@@ -265,7 +265,21 @@ _TL_PHRASES = [
     "in summer 2019 mostly",
     "back in the 1990s era",
     "met January 15, 2024 again",
+    "checked 03/15/2024 form",
+    "due 25/12/2020 maybe",
+    "circa 1995 stuff happened",
+    "early March 2021 window",
 ]
+
+
+def _tl_case_sql(expr: str) -> str:
+    whens = "\n".join(
+        f"      WHEN {i} THEN '{p}'" for i, p in enumerate(_TL_PHRASES[:-1])
+    )
+    return (
+        f"CASE ({expr}) % {len(_TL_PHRASES)}\n{whens}\n"
+        f"      ELSE '{_TL_PHRASES[-1]}' END"
+    )
 
 
 def q_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,41 +287,37 @@ def q_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.col("text"), F.lit(" "), F.element_at(phr, (F.col("doc_id") % 5 + 1).cast("int"))
+            F.col("text"), F.lit(" "),
+            F.element_at(phr, (F.col("doc_id") % len(_TL_PHRASES) + 1).cast("int")),
         ).alias("t"),
     )
     ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
     return ev.select("doc_id", "date_text", "date_start", "event_kind", "confidence")
 
 
-_TIMELINE_SQL = """
+_TIMELINE_SQL = f"""
 WITH t AS (
   SELECT doc_id, text || ' ' ||
-    CASE doc_id % 5
-      WHEN 0 THEN 'signed on 2024-01-15 ok'
-      WHEN 1 THEN 'during the third quarter of 2023'
-      WHEN 2 THEN 'in summer 2019 mostly'
-      WHEN 3 THEN 'back in the 1990s era'
-      ELSE 'met January 15, 2024 again' END AS t
+    {_tl_case_sql("doc_id")} AS t
   FROM documents
 ),
 iso AS (
   SELECT doc_id, unnest(regexp_extract_all(t,
-    '\\b(\\d{4})-(\\d{1,2})-(\\d{1,2})(?:T(\\d{1,2}):(\\d{1,2}):(\\d{1,2}))?\\b')) AS date_text
+    '\\b(\\d{{4}})-(\\d{{1,2}})-(\\d{{1,2}})(?:T(\\d{{1,2}}):(\\d{{1,2}}):(\\d{{1,2}}))?\\b')) AS date_text
   FROM t
 ),
 iso_ok AS (
   SELECT doc_id, date_text,
          try_cast(make_date(
-           regexp_extract(date_text, '^(\\d{4})', 1)::INT,
-           regexp_extract(date_text, '^\\d{4}-(\\d{1,2})', 1)::INT,
-           regexp_extract(date_text, '^\\d{4}-\\d{1,2}-(\\d{1,2})', 1)::INT) AS DATE) AS date_start,
+           regexp_extract(date_text, '^(\\d{{4}})', 1)::INT,
+           regexp_extract(date_text, '^\\d{{4}}-(\\d{{1,2}})', 1)::INT,
+           regexp_extract(date_text, '^\\d{{4}}-\\d{{1,2}}-(\\d{{1,2}})', 1)::INT) AS DATE) AS date_start,
          'iso' AS event_kind, 0.99::DOUBLE AS confidence
   FROM iso
 ),
 mdy AS (
   SELECT doc_id, unnest(regexp_extract_all(t,
-    '(?i)\\b(January|February|March|April|May|June|July|August|September|October|November|December|Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec)\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})\\b')) AS date_text
+    '(?i)\\b(January|February|March|April|May|June|July|August|September|October|November|December|Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec)\\s+(\\d{{1,2}})(?:st|nd|rd|th)?,?\\s+(\\d{{4}})\\b')) AS date_text
   FROM t
 ),
 month_map AS (
@@ -321,20 +331,20 @@ month_map AS (
 mdy_ok AS (
   SELECT doc_id, date_text,
          make_date(
-           regexp_extract(date_text, '(\\d{4})\\b', 1)::INT,
+           regexp_extract(date_text, '(\\d{{4}})\\b', 1)::INT,
            (SELECT num FROM month_map WHERE name = lower(regexp_extract(date_text, '(?i)^([A-Za-z]+)', 1))),
-           regexp_extract(date_text, '\\s(\\d{1,2})', 1)::INT) AS date_start,
+           regexp_extract(date_text, '\\s(\\d{{1,2}})', 1)::INT) AS date_start,
          'natural_mdy' AS event_kind, 0.95::DOUBLE AS confidence
   FROM mdy
 ),
 qtr AS (
   SELECT doc_id, unnest(regexp_extract_all(t,
-    '(?i)\\b(Q[1-4]|first|second|third|fourth)\\s+quarter\\s+(?:of\\s+)?(\\d{4})\\b')) AS date_text
+    '(?i)\\b(Q[1-4]|first|second|third|fourth)\\s+quarter\\s+(?:of\\s+)?(\\d{{4}})\\b')) AS date_text
   FROM t
 ),
 qtr_ok AS (
   SELECT doc_id, date_text,
-         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT,
+         make_date(regexp_extract(date_text, '(\\d{{4}})', 1)::INT,
            (CASE lower(regexp_extract(date_text, '(?i)^(Q[1-4]|first|second|third|fourth)', 1))
               WHEN 'q1' THEN 1 WHEN 'first' THEN 1 WHEN 'q2' THEN 2 WHEN 'second' THEN 2
               WHEN 'q3' THEN 3 WHEN 'third' THEN 3 ELSE 4 END - 1) * 3 + 1,
@@ -344,12 +354,12 @@ qtr_ok AS (
 ),
 ssn AS (
   SELECT doc_id, unnest(regexp_extract_all(t,
-    '(?i)\\b(spring|summer|fall|autumn|winter)\\s+(?:of\\s+)?(\\d{4})\\b')) AS date_text
+    '(?i)\\b(spring|summer|fall|autumn|winter)\\s+(?:of\\s+)?(\\d{{4}})\\b')) AS date_text
   FROM t
 ),
 ssn_ok AS (
   SELECT doc_id, date_text,
-         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT,
+         make_date(regexp_extract(date_text, '(\\d{{4}})', 1)::INT,
            CASE lower(regexp_extract(date_text, '(?i)^(spring|summer|fall|autumn|winter)', 1))
              WHEN 'spring' THEN 3 WHEN 'summer' THEN 6 WHEN 'fall' THEN 9
              WHEN 'autumn' THEN 9 ELSE 12 END,
@@ -358,20 +368,80 @@ ssn_ok AS (
   FROM ssn
 ),
 dec_ AS (
-  SELECT doc_id, unnest(regexp_extract_all(t, '(?i)\\b(?:the\\s+)?(\\d{4})s\\b')) AS date_text
+  SELECT doc_id, unnest(regexp_extract_all(t, '(?i)\\b(?:the\\s+)?(\\d{{4}})s\\b')) AS date_text
   FROM t
 ),
 dec_ok AS (
   SELECT doc_id, date_text,
-         make_date(regexp_extract(date_text, '(\\d{4})', 1)::INT, 1, 1) AS date_start,
+         make_date(regexp_extract(date_text, '(\\d{{4}})', 1)::INT, 1, 1) AS date_start,
          'decade' AS event_kind, 0.7::DOUBLE AS confidence
   FROM dec_
+),
+num AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '\\b(\\d{{1,2}})[/\\-.](\\d{{1,2}})[/\\-.](\\d{{2,4}})\\b')) AS date_text
+  FROM t
+),
+num_parts AS (
+  SELECT doc_id, date_text,
+         regexp_extract(date_text, '^(\\d{{1,2}})', 1)::INT AS p1,
+         regexp_extract(date_text, '^\\d{{1,2}}[/\\-.](\\d{{1,2}})', 1)::INT AS p2,
+         regexp_extract(date_text, '(\\d{{2,4}})$', 1)::INT AS yraw
+  FROM num
+),
+num_cand AS (
+  SELECT doc_id, date_text,
+         CASE WHEN yraw < 100 THEN CASE WHEN yraw < 50 THEN yraw + 2000 ELSE yraw + 1900 END
+              ELSE yraw END AS yr, p1, p2
+  FROM num_parts
+),
+num_ok AS (
+  SELECT doc_id, date_text,
+         coalesce(mdy_d, dmy_d) AS date_start, 'numeric' AS event_kind,
+         (CASE WHEN mdy_d IS NOT NULL THEN 0.8 ELSE 0.7 END)::DOUBLE AS confidence
+  FROM (
+    SELECT doc_id, date_text,
+           CASE WHEN p1 <= 12 AND p2 <= 31
+                THEN CAST(try_strptime(printf('%04d-%02d-%02d', yr, p1, p2), '%Y-%m-%d') AS DATE) END AS mdy_d,
+           CASE WHEN p2 <= 12 AND p1 <= 31
+                THEN CAST(try_strptime(printf('%04d-%02d-%02d', yr, p2, p1), '%Y-%m-%d') AS DATE) END AS dmy_d
+    FROM num_cand
+  )
+),
+approx AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '(?i)\\b(around|circa|about|approximately|roughly)\\s+(\\d{{4}})\\b')) AS date_text
+  FROM t
+),
+approx_ok AS (
+  SELECT doc_id, date_text,
+         make_date(regexp_extract(date_text, '(\\d{{4}})', 1)::INT, 6, 30) AS date_start,
+         'approximate' AS event_kind, 0.6::DOUBLE AS confidence
+  FROM approx
+),
+prd AS (
+  SELECT doc_id, unnest(regexp_extract_all(t,
+    '(?i)\\b(early|mid|late)\\s+(January|February|March|April|May|June|July|August|September|October|November|December|Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec)\\s+(\\d{{4}})\\b')) AS date_text
+  FROM t
+),
+prd_ok AS (
+  SELECT doc_id, date_text,
+         CAST(try_strptime(printf('%04d-%02d-%02d',
+           regexp_extract(date_text, '(\\d{{4}})$', 1)::INT,
+           (SELECT num FROM month_map WHERE name = lower(regexp_extract(date_text, '(?i)^(?:early|mid|late)\\s+([A-Za-z]+)', 1))),
+           CASE lower(regexp_extract(date_text, '(?i)^(early|mid|late)', 1))
+             WHEN 'early' THEN 1 WHEN 'mid' THEN 11 ELSE 21 END), '%Y-%m-%d') AS DATE) AS date_start,
+         'period' AS event_kind, 0.7::DOUBLE AS confidence
+  FROM prd
 )
 SELECT * FROM iso_ok WHERE date_start IS NOT NULL
 UNION ALL SELECT * FROM mdy_ok WHERE date_start IS NOT NULL
 UNION ALL SELECT * FROM qtr_ok WHERE date_start IS NOT NULL
 UNION ALL SELECT * FROM ssn_ok WHERE date_start IS NOT NULL
 UNION ALL SELECT * FROM dec_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM num_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM approx_ok WHERE date_start IS NOT NULL
+UNION ALL SELECT * FROM prd_ok WHERE date_start IS NOT NULL
 """
 
 

@@ -262,26 +262,19 @@ def q_embedding_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enrichment phrases per doc so every doc has ≥2 events)
 # ---------------------------------------------------------------------------
 
-_TL2 = [
-    "signed on 2024-01-15 ok",
-    "during the third quarter of 2023",
-    "in summer 2019 mostly",
-    "back in the 1990s era",
-    "met January 15, 2024 again",
-]
-
-
 @register("interval_conflicts", None)  # oracle below (reuses the T1 oracle)
 def q_interval_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeline import detect_interval_conflicts, extract_timeline_events
+    from .queries_ext import _TL_PHRASES
 
-    phr = F.array(*[F.lit(p) for p in _TL2])
+    phr = F.array(*[F.lit(p) for p in _TL_PHRASES])
+    n = len(_TL_PHRASES)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" "), F.element_at(phr, (F.col("doc_id") % 5 + 1).cast("int")),
-            F.lit(" "), F.element_at(phr, ((F.col("doc_id") + 2) % 5 + 1).cast("int")),
+            F.lit(" "), F.element_at(phr, (F.col("doc_id") % n + 1).cast("int")),
+            F.lit(" "), F.element_at(phr, ((F.col("doc_id") + 3) % n + 1).cast("int")),
         ).alias("t"),
     )
     ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
@@ -293,24 +286,14 @@ def q_interval_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tl2_oracle() -> str:
-    from .queries_ext import _TIMELINE_SQL
+    from .queries_ext import _TIMELINE_SQL, _tl_case_sql
 
-    two_phrase = """
+    two_phrase = f"""
 WITH t AS (
   SELECT doc_id, text || ' ' ||
-    CASE doc_id % 5
-      WHEN 0 THEN 'signed on 2024-01-15 ok'
-      WHEN 1 THEN 'during the third quarter of 2023'
-      WHEN 2 THEN 'in summer 2019 mostly'
-      WHEN 3 THEN 'back in the 1990s era'
-      ELSE 'met January 15, 2024 again' END
+    {_tl_case_sql("doc_id")}
     || ' ' ||
-    CASE (doc_id + 2) % 5
-      WHEN 0 THEN 'signed on 2024-01-15 ok'
-      WHEN 1 THEN 'during the third quarter of 2023'
-      WHEN 2 THEN 'in summer 2019 mostly'
-      WHEN 3 THEN 'back in the 1990s era'
-      ELSE 'met January 15, 2024 again' END AS t
+    {_tl_case_sql("doc_id + 3")} AS t
   FROM documents
 ),"""
     base = _TIMELINE_SQL

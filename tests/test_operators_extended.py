@@ -332,3 +332,38 @@ class TestModelNer:
         assert abs(model_confidence("John Smith") - 0.95) < 1e-12
         assert model_confidence("acme") == 0.8
         assert model_confidence("Acme") == 0.9
+
+
+class TestEmbedModel:
+    def test_fake_embedding_deterministic_unit(self):
+        from arkhammirror_spark.operators.embed_model import fake_embedding
+
+        a = fake_embedding("hello world")
+        b = fake_embedding("hello world")
+        c = fake_embedding("other text")
+        assert a == b and a != c and len(a) == 64
+        assert abs(sum(x * x for x in a) - 1.0) < 1e-9
+
+    def test_embed_texts_fallback_path(self, spark):
+        from arkhammirror_spark.operators.embed_model import embed_texts, fake_embedding
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma"), (3, None)],
+            "doc_id: long, text: string",
+        )
+        rows = {r["doc_id"]: r["embedding"] for r in embed_texts(df).collect()}
+        assert rows[1] == fake_embedding("alpha beta")
+        assert rows[3] == fake_embedding("")  # null text → empty-string vector
+
+    def test_embeddings_feed_similarity_ops(self, spark):
+        """End-to-end: generated embeddings flow into the ANN/top-k path."""
+        from arkhammirror_spark.operators.embed_model import embed_texts, fake_embedding
+        from arkhammirror_spark.operators.similarity import brute_force_topk
+
+        docs = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(20)], "doc_id: long, text: string"
+        )
+        emb = embed_texts(docs)
+        qv = fake_embedding("text number 7")
+        top = brute_force_topk(emb, qv, k=1, id_col="doc_id").collect()
+        assert top[0]["doc_id"] == 7  # exact self-match wins
