@@ -62,18 +62,39 @@ def shingles(
     ).where(F.length("shingle") > 0)
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h) rows: xxhash64 of each distinct shingle, folded into [0, p).
+
+    This is the SLIM frame the near-dup operators share: two longs per
+    shingle instead of the raw shingle string (~30 bytes of corpus text per
+    row). Both downstream consumers (signatures, exact-Jaccard verify) need
+    only shingle EQUALITY, which the 64-bit hash preserves up to a ~n²/2⁶⁴
+    collision probability — vanishing even at 10¹² shingles, and rehearsed
+    value-identical against the string-based DuckDB oracle.
+    """
+    return shingles(df, id_col, text_col, n).select(
+        F.col(id_col), (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", k: int = 128, seed: int = 7
 ) -> DataFrame:
-    """K-element minhash signature per doc from a (id, shingle) frame.
+    """K-element minhash signature per doc from a (id, shingle) or (id, h)
+    frame.
 
-    One pass: h = xxhash64(shingle) folded into [0, p); each of the K
-    functions is min over (a*h + b) mod p, computed as K aggregate exprs —
-    map-side partial min keeps the shuffle at K longs per doc.
+    One pass: each of the K permutation functions is min over (a*h + b)
+    mod p, computed as K aggregate exprs — map-side partial min keeps the
+    shuffle at K longs per doc.
     """
     params = _hash_params(k, seed)
-    h = (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
-    base = sh.select(F.col(id_col), h)
+    if "h" in sh.columns:
+        base = sh.select(F.col(id_col), F.col("h"))
+    else:
+        h = (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
+        base = sh.select(F.col(id_col), h)
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
@@ -125,12 +146,14 @@ def lsh_candidate_pairs(
 def jaccard_for_pairs(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard for given (id_a, id_b) pairs from the shingle frame."""
+    """Exact Jaccard for given (id_a, id_b) pairs from a (id, shingle) or
+    slim (id, h) frame — the join only needs shingle equality."""
+    key = "h" if "h" in sh.columns else "shingle"
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), key)
+    b = sh.select(F.col(id_col).alias("id_b"), key)
     shared = (
-        pairs.join(a, "id_a").join(b, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        pairs.join(a, "id_a").join(b, ["id_b", key]).groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
@@ -156,14 +179,15 @@ def verified_neardup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
 
-    The shingle frame is deliberately NOT persisted: it is ~n× the corpus
-    text, and caching text-carrying frames thrashes executor memory at scale
-    (CLAUDE.md invariant 5). Both consumers (signatures, Jaccard verify)
-    recompute it from the pruned source scan — whole-stage-codegen splits —
-    which is cheaper than a corpus-sized cache. At 100 TB, checkpoint the
-    shingle table to storage (write-then-pruned-read) instead.
+    Storage discipline (CLAUDE.md invariant 5): the RAW shingle frame is
+    ~n× the corpus text and is never cached. Instead the slim HASHED frame
+    (two longs per shingle) is localCheckpoint'ed once — signatures and the
+    Jaccard verify both read it, so the expensive text-explode runs exactly
+    once instead of 3–4× through the self-join lineage (measured 10× wall
+    difference at sf0.1). At 100 TB scale, swap localCheckpoint for a
+    storage checkpoint (write-then-pruned-read) of the same slim table.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingle_hashes(df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     out = jaccard_for_pairs(cands, sh, id_col).where(
@@ -181,14 +205,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute-force exact Jaccard pairs via shared-shingle join (oracle path).
 
-    No persist (invariant 5): shingles recompute from the pruned scan.
+    Same slim-hashed-checkpoint discipline as verified_neardup_pairs: the
+    text-explode runs once; only (id, h) longs are stored.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingle_hashes(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

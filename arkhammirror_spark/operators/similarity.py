@@ -62,40 +62,45 @@ def brute_force_topk(
     )
 
 
-def _plane_component(h_bit: int, dim_idx, plane_idx):
-    # pseudo-plane component in {-1, +1} from a 64-bit mix of (dim, plane):
-    # deterministic, identical on any executor, no plane matrix to broadcast
-    mixed = F.xxhash64(
-        F.concat_ws(":", dim_idx.cast("string"), plane_idx.cast("string"))
-    )
-    return F.when(mixed.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_sign(dim_idx: int, plane_idx: int) -> float:
+    """Deterministic ±1 plane component from a 64-bit integer mix — computed
+    in PYTHON at plan-build time, so planes are constant literals in the
+    expression tree (identical on every executor, nothing to broadcast)."""
+    x = (dim_idx * 0x9E3779B97F4A7C15 + plane_idx * 0xC2B2AE3D27D4EB4F) & (2**64 - 1)
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+    x ^= x >> 33
+    return 1.0 if x & 1 else -1.0
 
 
-def hyperplane_bucket(vec_col, n_planes: int = 12):
-    """Bucket id = sign bits of dot(v, plane_j) for H pseudo-random ±1 planes."""
+def hyperplane_bucket(vec_col, n_planes: int = 12, dim: int = 64,
+                      plane_offset: int = 0):
+    """Bucket id = sign bits of dot(v, plane_j) for H pseudo-random ±1
+    planes (plane ids plane_offset..plane_offset+H−1; H ≤ 62 so the packed
+    key stays in int64). The plane matrix is H×dim CONSTANT literals
+    (folded by Catalyst) — the earlier per-element xxhash64(concat)
+    formulation cost ~10M string hashes per 5k vectors and dominated the
+    LSH wall time."""
+    if n_planes > 62:
+        raise ValueError("n_planes > 62 would overflow the packed int64 key")
     v = vec_col
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda x, i: x * _plane_component(1, i, j),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
-    return F.aggregate(
-        F.zip_with(bits, powers, lambda b, p: b * p),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(
+            *[F.lit(_plane_sign(i, plane_offset + j)) for i in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
 
 
 def lsh_bucket_topk(
@@ -138,33 +143,30 @@ def pairwise_cosine_above_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 8,
-    rows_per_band: int = 4,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs via BANDED hyperplane LSH (OR-construction):
     B bands of R sign-bits each; a pair is a candidate if ANY band matches,
-    then exact cosine ≥ threshold verifies. For cosine ≥ 0.9999 (θ ≈ 0.014
-    rad) the per-pair miss probability is (1 − (1−θ/π)^R)^B ≈ 1e-14 at
-    B=8, R=4 — the hyperplane analogue of the MinHash-LSH band join in
-    operators.dedup, and the scale path over the single-bucket variant
-    (which has no amplification and misses plane-straddling pairs)."""
+    then exact cosine ≥ threshold verifies. For cosine ≥ 0.999 (θ ≈ 0.045
+    rad, plane-agreement p ≈ 0.9857) the per-pair miss probability is
+    (1 − p^R)^B ≈ 2e-8 at B=8, R=8 — the hyperplane analogue of the
+    MinHash-LSH band join in operators.dedup, and the scale path over the
+    single-bucket variant (no amplification, misses plane-straddlers).
+
+    R sizes the candidate budget: a RANDOM pair collides in a band with
+    probability ~(1/2)^R, so R=8 prunes to ~3% of all pairs where R=4
+    admits ~39% (measured: near-brute-force cost). Grow R with corpus size
+    (R ≈ log2(n) keeps per-bucket occupancy ~constant)."""
     v = F.col(vec_col).cast("array<double>")
-    total_planes = bands * rows_per_band
-    bits = emb.select(
+    # one R-bit key per band, each from its own plane block (no packed
+    # 64-bit intermediate — B×R can exceed the int64 sign bit)
+    band_keys = [
+        hyperplane_bucket(v, rows_per_band, plane_offset=b * rows_per_band)
+        for b in range(bands)
+    ]
+    banded = emb.select(
         F.col(id_col), v.alias("v"),
-        hyperplane_bucket(v, total_planes).alias("allbits"),
-    )
-    banded = bits.select(
-        F.col(id_col), "v",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("allbits"), b * rows_per_band).bitwiseAND(
-                        F.lit((1 << rows_per_band) - 1)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "key"),
+        F.posexplode(F.array(*band_keys)).alias("band", "key"),
     )
     a, c = banded.alias("a"), banded.alias("b")
     pairs = (

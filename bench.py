@@ -61,9 +61,12 @@ def main() -> None:
     docs_per_sec = round(n_docs / pipeline_sec, 1)
 
     # compute-only extraction throughput (the BASELINE.md headline metric:
-    # extract + mentions + edges + audit, no table writes)
+    # extract + mentions + edges + audit, no table writes). One untimed
+    # warm-up run first: the first heavy codegen pass in a session pays
+    # 2-8 s of JIT/codegen that a steady-state cluster never sees.
     from arkhammirror_spark.pipeline import run_extraction_stats
 
+    run_extraction_stats(spark, pages.limit(2000), num_partitions=cpus)
     t0 = time.perf_counter()
     stats = run_extraction_stats(spark, pages, num_partitions=cpus * 2)
     stats_sec = time.perf_counter() - t0

@@ -367,3 +367,41 @@ class TestEmbedModel:
         qv = fake_embedding("text number 7")
         top = brute_force_topk(emb, qv, k=1, id_col="doc_id").collect()
         assert top[0]["doc_id"] == 7  # exact self-match wins
+
+
+class TestOcrModel:
+    def test_mock_path_deterministic(self, spark):
+        from arkhammirror_spark.operators.ocr_model import ocr_images
+
+        pages = spark.createDataFrame(
+            [("u1", b"fake-image-bytes"), ("u2", b"fake-image-bytes"), ("u3", None)],
+            "url: string, payload: binary",
+        )
+        rows = {r["url"]: r for r in ocr_images(pages, mode="mock").collect()}
+        assert rows["u1"]["engine"] == "mock"
+        assert rows["u1"]["full_text"] == rows["u2"]["full_text"]
+        assert rows["u1"]["full_text"].startswith("[ocr-mock ")
+        assert rows["u3"]["error"] is not None  # empty payload quarantined
+
+    def test_strict_mode_raises_without_engine(self, spark):
+        import pytest as _pt
+
+        from arkhammirror_spark.operators.ocr_model import _load_engine, ocr_images
+
+        if _load_engine("en") is not None:
+            _pt.skip("paddleocr installed; strict gate not exercisable")
+        pages = spark.createDataFrame(
+            [("u1", b"img")], "url: string, payload: binary"
+        )
+        with _pt.raises(Exception, match="paddleocr not installed"):
+            ocr_images(pages, mode="strict").collect()
+
+    def test_auto_mode_falls_back_to_mock(self, spark):
+        from arkhammirror_spark.operators.ocr_model import ocr_images
+
+        pages = spark.createDataFrame(
+            [("u1", b"img-bytes")], "url: string, payload: binary"
+        )
+        r = ocr_images(pages, mode="auto").collect()[0]
+        assert r["engine"] in ("mock", "paddle")
+        assert r["error"] is None
