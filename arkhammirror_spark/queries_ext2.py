@@ -1150,3 +1150,111 @@ FROM c
 
 
 ORACLE_EXT2["graph_stats"] = _graph_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# E16 ego network (builder.py:549-619): depth-1 BFS subgraph around the
+# highest-degree entity, fully mirrored in SQL
+# ---------------------------------------------------------------------------
+
+
+@register("graph_ego", None)  # oracle below
+def q_graph_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import ego_network
+    from .queries import q_comention_edges
+
+    edges = q_comention_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # deterministic center: max degree, ties to lexicographically first name
+    from .operators.edges import node_degrees
+
+    center = (
+        node_degrees(edges)
+        .orderBy(F.desc("degree"), F.asc("name"))
+        .limit(1)
+        .collect()[0]["name"]
+    )
+    return ego_network(edges, center, depth=1).select(
+        "entity_a", "entity_b", "co_occurrence_count", "weight"
+    )
+
+
+def _ego_oracle() -> str:
+    from .queries import ORACLE_SQL as _BASE
+
+    return f"""
+WITH edges AS ({_BASE["comention_edges"]}),
+deg AS (
+  SELECT name, count(*) AS degree FROM (
+    SELECT entity_a AS name FROM edges UNION ALL SELECT entity_b FROM edges
+  ) GROUP BY 1
+),
+center AS (SELECT name FROM deg ORDER BY degree DESC, name ASC LIMIT 1),
+seen AS (
+  SELECT name FROM center
+  UNION
+  SELECT entity_b FROM edges, center WHERE entity_a = center.name
+  UNION
+  SELECT entity_a FROM edges, center WHERE entity_b = center.name
+)
+SELECT entity_a, entity_b, co_occurrence_count, weight
+FROM edges
+WHERE entity_a IN (SELECT name FROM seen) AND entity_b IN (SELECT name FROM seen)
+"""
+
+
+ORACLE_EXT2["graph_ego"] = _ego_oracle()
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (the Common-Crawl-native edge): deterministic .warc.gz
+# bytes → parse → pages → extract_docs, pinned by a VALUES oracle
+# ---------------------------------------------------------------------------
+
+
+def _warc_fixture_segment(spark: SparkSession):
+    from .sources.warc import build_warc
+
+    records = [
+        {"url": "https://fx.example/html", "date": "2026-01-02T03:04:05Z",
+         "payload": (b"<html><head><title>T</title></head><body><nav>menu</nav>"
+                     b"<p>John Smith met Acme Corp in Paris.</p></body></html>")},
+        {"url": "https://fx.example/req", "warc_type": "request",
+         "payload": b"GET / HTTP/1.1"},
+        {"url": "https://fx.example/text", "date": "2026-02-03T04:05:06Z",
+         "payload": "Résumé only text here.".encode("utf-8")},
+        {"url": None, "warc_type": "warcinfo", "payload": b"software: fx"},
+    ]
+    return spark.createDataFrame(
+        [("fx://segment-0", build_warc(records))], "path: string, content: binary"
+    )
+
+
+@register("warc_ingest", None)  # oracle (VALUES) below
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import extract_docs
+    from .shipping import ensure_shipped
+    from .sources.warc import warc_to_pages
+
+    ensure_shipped(spark)
+    pages = (
+        warc_to_pages(_warc_fixture_segment(spark))
+        .where(F.col("error").isNull())
+        .select("url", "warc_ts", "html", "text")
+    )
+    docs = extract_docs(pages)
+    return docs.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sha2(F.col("extracted_text"), 256).alias("text_sha"),
+    )
+
+
+ORACLE_EXT2["warc_ingest"] = _values_oracle(
+    [
+        ("https://fx.example/html", "2026-01-02 03:04:05",
+         "3effcf663c6d1160ce1973754faac170c74dc840ce991c6f80b3a7113dfc7ee3"),
+        ("https://fx.example/text", "2026-02-03 04:05:06",
+         "a16264c42265a6ded267e29c3d142aab5166feeaaae70bb67db024d96e5461fa"),
+    ],
+    ["url", "ts", "text_sha"],
+)

@@ -37,6 +37,8 @@ _ARROW_BOUNDS = {
     # the final round's (bounded) join branches
     "graph_components": (0, 2),
     "graph_pagerank": (0, 2),
+    "graph_ego": (0, 2),          # operates on checkpointed edges
+    "warc_ingest": (2, 2),        # WARC parse pass + extract pass
 }
 
 

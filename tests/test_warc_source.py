@@ -1,0 +1,93 @@
+"""WARC source: parser unit tests, Spark reader, and the end-to-end
+WARC → pages → extract_docs chain."""
+
+import gzip
+
+import pytest
+
+from arkhammirror_spark.sources.warc import (
+    build_warc,
+    parse_warc_records,
+    read_warc,
+    warc_to_pages,
+)
+
+RECORDS = [
+    {"url": "https://a.example/1", "date": "2026-01-02T03:04:05Z",
+     "payload": b"<html><body><p>John Smith met Acme Corp.</p></body></html>"},
+    {"url": "https://a.example/req", "warc_type": "request",
+     "payload": b"GET / HTTP/1.1"},
+    {"url": "https://b.example/2", "date": "2026-02-03T04:05:06Z",
+     "payload": "Résumé text only.".encode("utf-8")},
+    {"url": None, "warc_type": "warcinfo", "payload": b"software: test"},
+]
+
+
+class TestParser:
+    def test_responses_only_with_http_split(self):
+        raw = build_warc(RECORDS, gzip_members=False)
+        recs = parse_warc_records(raw)
+        assert [r["url"] for r in recs] == ["https://a.example/1", "https://b.example/2"]
+        assert recs[0]["payload"].startswith(b"<html>")
+        assert recs[0]["content_type"] == "text/html"
+        assert recs[0]["error"] is None
+
+    def test_gzip_multi_member(self):
+        raw = build_warc(RECORDS, gzip_members=True)
+        assert raw[:2] == b"\x1f\x8b"
+        recs = parse_warc_records(raw)
+        assert len(recs) == 2 and recs[1]["url"] == "https://b.example/2"
+
+    def test_truncated_body_quarantined(self):
+        raw = build_warc([RECORDS[0]], gzip_members=False)
+        recs = parse_warc_records(raw[: len(raw) - 30])
+        assert len(recs) == 1
+        assert recs[0]["url"] == "https://a.example/1"
+        assert "truncated" in recs[0]["error"]
+
+    def test_bad_content_length_quarantined(self):
+        raw = build_warc([RECORDS[0]], gzip_members=False)
+        bad = raw.replace(b"Content-Length: ", b"Content-Length: x", 1)
+        recs = parse_warc_records(bad)
+        assert any(r["error"] and "Content-Length" in r["error"] for r in recs)
+
+    def test_deterministic_bytes(self):
+        assert build_warc(RECORDS) == build_warc(RECORDS)
+
+
+class TestSparkReader:
+    def test_read_warc_files(self, spark, tmp_path):
+        p = tmp_path / "seg-00000.warc.gz"
+        p.write_bytes(build_warc(RECORDS))
+        pages = read_warc(spark, str(tmp_path / "*.warc.gz"))
+        rows = {r["url"]: r for r in pages.collect()}
+        assert set(rows) == {"https://a.example/1", "https://b.example/2"}
+        assert rows["https://a.example/1"]["warc_ts"].year == 2026
+        assert bytes(rows["https://a.example/1"]["html"]).startswith(b"<html>")
+        assert rows["https://a.example/1"]["error"] is None
+
+    def test_corrupt_segment_is_one_error_row(self, spark):
+        seg = spark.createDataFrame(
+            [("s1", b"\x1f\x8bnot really gzip")], "path: string, content: binary"
+        )
+        rows = warc_to_pages(seg).collect()
+        assert len(rows) == 1 and rows[0]["error"] is not None
+
+    def test_end_to_end_warc_to_extraction(self, spark, tmp_path):
+        """WARC bytes → pages → extract_docs: the full ingest chain."""
+        import pyspark.sql.functions as F
+
+        from arkhammirror_spark.operators.extract import extract_docs
+
+        p = tmp_path / "seg.warc.gz"
+        p.write_bytes(build_warc(RECORDS))
+        pages = read_warc(spark, str(p)).where("error is null").select(
+            "url", "warc_ts", "html", "text"
+        )
+        docs = extract_docs(pages, include_mentions=True)
+        got = {r["url"]: r for r in docs.collect()}
+        assert "John Smith met Acme Corp." in got["https://a.example/1"]["extracted_text"]
+        names = [m["text"] for m in got["https://a.example/1"]["_mentions"]]
+        assert "John Smith" in names
+        # the utf-8 text-only record went through the decode cascade
+        assert "Résumé" in got["https://b.example/2"]["extracted_text"]
