@@ -36,7 +36,7 @@ from .operators.spans import (
     extract_chunks,
     extract_claims_df,
     extract_dates,
-    extract_rels,
+    extract_rels_from_mentions,
 )
 from .schemas import AUDIT_SCHEMA
 
@@ -228,7 +228,10 @@ def run_pipeline(
         )
         tables["mentions"] = mentions
         tables["dates"] = extract_dates(clean)
-        tables["rels"] = extract_rels(clean)
+        # native pair combination over the fused _mentions — the Python
+        # re-extraction variant cost half the pipeline wall (see
+        # extract_rels_from_mentions)
+        tables["rels"] = extract_rels_from_mentions(docs_raw)
         tables["chunks"] = extract_chunks(clean)
         tables["claims"] = extract_claims_df(clean)
 

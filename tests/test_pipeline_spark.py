@@ -264,3 +264,24 @@ class TestRunLevelCommit:
             inc_rows = sorted(map(tuple, res_inc.tables[table].collect()))
             full_rows = sorted(map(tuple, res_full.tables[table].collect()))
             assert inc_rows == full_rows, table
+
+
+class TestNativeRels:
+    def test_native_rels_equal_python_rels(self, spark, pages):
+        """extract_rels_from_mentions (native pair combination) must match the
+        Arrow-batched reference-path extract_rels row-for-row on the mock-NER
+        pipeline."""
+        from arkhammirror_spark.operators.extract import extract_docs
+        from arkhammirror_spark.operators.spans import (
+            extract_rels,
+            extract_rels_from_mentions,
+        )
+
+        docs_raw = extract_docs(pages, include_mentions=True)
+        clean = docs_raw.select("url", "extracted_text", "error").where(
+            "error is null"
+        )
+        via_python = sorted(map(tuple, extract_rels(clean).collect()))
+        via_native = sorted(map(tuple, extract_rels_from_mentions(docs_raw).collect()))
+        assert via_native == via_python
+        assert len(via_native) > 0
