@@ -157,3 +157,91 @@ def sample_video_frames(
     return media.where("media_type = 'video'").select(
         "media_id", "payload", "duration_s"
     ).mapInPandas(_run, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL decode for PCM WAV (RIFF) — stdlib struct + numpy, no codec
+    library needed. Non-RIFF payloads (mp3/ogg/...) raise and quarantine;
+    swapping in a real codec extends the format set, same seam as images."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_fmt, channels, rate, _bps, _align, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n_frames = len(samples) // max(1, channels)
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "duration_s": round(n_frames / rate, 6) if rate else None,
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """audio rows → (sample_rate, channels, bits, duration, rms, peak).
+
+    Unlike the image path, this decode is REAL: PCM WAV needs only stdlib
+    RIFF parsing + numpy. Undecodable payloads quarantine per row."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    names = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                try:
+                    if payload is None:
+                        raise ValueError("empty payload")
+                    rows.append({"media_id": mid, **_decode_wav(bytes(payload)), "error": None})
+                except Exception as exc:
+                    rows.append(
+                        {"media_id": mid, "sample_rate": None, "channels": None,
+                         "bits": None, "duration_s": None, "rms": None,
+                         "peak": None, "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(rows, columns=names)
+
+    return media.where("media_type = 'audio'").select("media_id", "payload").mapInPandas(
+        _run, AUDIO_FEATURES_SCHEMA
+    )

@@ -80,3 +80,42 @@ def streaming_host_counts(
         .groupBy(F.window("warc_ts", "1 hour").alias("w"), host.alias("host"))
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def stream_warc_extract(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming WARC landing-zone ingestion: new .warc.gz segments →
+    parse → extract, exactly-once per segment via the binaryFile source's
+    tracked-file log. This is the continuous form of the Common-Crawl edge
+    (sources/warc.py) — segments drop into `warc_dir`, extracted docs land
+    in `out_dir` parquet."""
+    from ..shipping import ensure_shipped
+    from ..sources.warc import warc_to_pages
+
+    ensure_shipped(spark)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    segments = reader.load(warc_dir)
+
+    pages = warc_to_pages(segments).where(F.col("error").isNull()).select(
+        "url", "warc_ts", "html", "text"
+    )
+    docs = extract_docs(pages).drop("_part_id", "_batch_ms")
+    return (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -405,3 +405,40 @@ class TestOcrModel:
         r = ocr_images(pages, mode="auto").collect()[0]
         assert r["engine"] in ("mock", "paddle")
         assert r["error"] is None
+
+
+class TestAudioFeatures:
+    @staticmethod
+    def _wav(freq=440.0, rate=8000, seconds=0.5, channels=1, bits=16):
+        import math
+        import struct
+
+        n = int(rate * seconds)
+        frames = b""
+        for i in range(n):
+            v = int(32767 * 0.5 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", v) * channels
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(frames)) + frames
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    def test_wav_decode_real(self, spark):
+        from arkhammirror_spark.operators.multimodal import extract_audio_features
+
+        media = spark.createDataFrame(
+            [("a1", "audio", self._wav()), ("a2", "audio", b"not-audio"),
+             ("i1", "image", b"png-ish")],
+            "media_id: string, media_type: string, payload: binary",
+        )
+        rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+        assert set(rows) == {"a1", "a2"}  # image rows filtered out
+        ok = rows["a1"]
+        assert ok["error"] is None
+        assert ok["sample_rate"] == 8000 and ok["channels"] == 1 and ok["bits"] == 16
+        assert abs(ok["duration_s"] - 0.5) < 1e-6
+        # a half-amplitude sine has rms ~ 0.5/sqrt(2) and peak ~ 0.5
+        assert abs(ok["rms"] - 0.3535) < 0.01
+        assert abs(ok["peak"] - 0.5) < 0.01
+        assert rows["a2"]["error"] is not None  # quarantined, not fatal
