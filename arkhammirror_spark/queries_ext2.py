@@ -1258,3 +1258,23 @@ ORACLE_EXT2["warc_ingest"] = _values_oracle(
     ],
     ["url", "ts", "text_sha"],
 )
+
+
+@register("ann_ivf_topk", None)  # rows-only: IVF is approximate by design
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted lists, MLlib fit + n_probe nearest lists) over
+    the planted-near-dup derived corpus — the coarse-quantizer ANN scale
+    path beside the hyperplane-LSH one. Rows-only like ann_lsh_topk:
+    `embedding_knn` is the exact-oracle baseline."""
+    from .operators.similarity import ivf_topk
+
+    d = _derived_emb(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    out = ivf_topk(
+        d.where(F.col("vec_id") != 0), qv, k=10, n_clusters=16, n_probe=4
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))

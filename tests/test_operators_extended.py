@@ -442,3 +442,39 @@ class TestAudioFeatures:
         assert abs(ok["rms"] - 0.3535) < 0.01
         assert abs(ok["peak"] - 0.5) < 0.01
         assert rows["a2"]["error"] is not None  # quarantined, not fatal
+
+
+class TestIvfAnn:
+    def test_ivf_recall_on_planted_neardups(self, spark):
+        """IVF with enough probes must recover the exact brute-force top-k on
+        a corpus with planted near-duplicate structure."""
+        from arkhammirror_spark.operators.embed_model import fake_embedding
+        from arkhammirror_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        # 8 blocks of 10 near-identical vectors (anchor + tiny per-id tweak)
+        rows = []
+        for vid in range(80):
+            anchor = fake_embedding(f"block{vid // 10}", dim=16)
+            vec = [a + 0.001 * (vid % 10) * (((j + vid) % 5) - 2) for j, a in enumerate(anchor)]
+            rows.append((vid, vec))
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        qv = fake_embedding("block0", dim=16)
+
+        brute = [r["vec_id"] for r in brute_force_topk(emb, qv, k=9).collect()]
+        ivf = [r["vec_id"] for r in
+               ivf_topk(emb, qv, k=9, n_clusters=8, n_probe=2).collect()]
+        # block 0's members dominate the true top-9 and share one IVF list
+        assert set(brute) & set(range(10)) <= set(ivf)
+        assert len(set(brute) & set(ivf)) >= 8
+
+    def test_ivf_probes_prune_the_scan(self, spark):
+        from arkhammirror_spark.operators.embed_model import fake_embedding
+        from arkhammirror_spark.operators.similarity import ivf_topk
+
+        rows = [(i, fake_embedding(f"v{i}", dim=16)) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        out = ivf_topk(emb, fake_embedding("v3", dim=16), k=60,
+                       n_clusters=6, n_probe=1)
+        # with 1 of 6 lists probed, far fewer than all 60 rows survive the scan
+        n = out.count()
+        assert 0 < n < 40

@@ -39,6 +39,7 @@ _ARROW_BOUNDS = {
     "graph_pagerank": (0, 2),
     "graph_ego": (0, 2),          # operates on checkpointed edges
     "warc_ingest": (2, 2),        # WARC parse pass + extract pass
+    "ann_ivf_topk": (0, 0),       # MLlib fit happens at plan build
 }
 
 

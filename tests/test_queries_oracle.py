@@ -49,7 +49,7 @@ def _rows_to_multiset(cols, rows):
 # genuinely-approximate or non-SQL ops: the driver records a weaker
 # rows-only check for these; keep the set explicit so nothing silently
 # drops out of oracle coverage
-ROWS_ONLY = {"ann_lsh_topk"}
+ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))

@@ -121,3 +121,37 @@ class TestStreamingWarc:
         docs = spark.read.parquet(out)
         assert docs.count() == 3  # seg-0 NOT reprocessed
         assert docs.where("url = 'https://c.example/3'").count() == 1
+
+
+class TestWarcRoundTripFuzz:
+    def test_build_parse_round_trip(self):
+        """Fuzz: build_warc(records) → parse_warc_records recovers every
+        response record's url/payload byte-for-byte, plain and gzipped."""
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        payload_st = st.binary(min_size=0, max_size=400)
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from(["response", "request", "metadata"]),
+                      payload_st),
+            min_size=1, max_size=8,
+        ), st.booleans())
+        def check(specs, gz):
+            records = [
+                {"url": f"https://fz.example/{i}", "warc_type": t,
+                 "payload": p, "http": False}
+                for i, (t, p) in enumerate(specs)
+            ]
+            recs = parse_warc_records(build_warc(records, gzip_members=gz))
+            expected = [
+                (r["url"], r["payload"]) for r in records
+                if r["warc_type"] == "response"
+            ]
+            assert [(r["url"], r["payload"]) for r in recs] == expected
+            assert all(r["error"] is None for r in recs)
+
+        check()
