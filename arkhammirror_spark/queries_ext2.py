@@ -1278,3 +1278,205 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("vec_id") != 0), qv, k=10, n_clusters=16, n_probe=4
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# C4–C8 frame chunk strategies: every strategy over the enriched corpus,
+# mirrored in SQL via the fixed-size arithmetic / paragraph split
+# ---------------------------------------------------------------------------
+
+
+@register("chunk_strategy_paragraph", None)  # oracle below
+def q_chunk_strategy_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 paragraph strategy (frame services/chunks.py paragraph splitter)
+    over documents with deterministic paragraph breaks injected."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .reference_impl.frame_chunks import chunk_paragraph
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r" table ", "\n\ntable ").alias("t"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("chunk_index", LongType(), False),
+            StructField("chunk_text", StringType(), False),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                for i, (text, _s, _e) in enumerate(chunk_paragraph(t or "", chunk_size=200)):
+                    rows.append({"doc_id": doc_id, "chunk_index": i, "chunk_text": text})
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_index", "chunk_text"])
+
+    return docs.mapInPandas(_run, schema)
+
+
+_C7_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_replace(text, ' table ', chr(10) || chr(10) || 'table ', 'g') AS t
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pidx
+  FROM (
+    SELECT doc_id, g.i AS i,
+           trim(parts[g.i], ' ' || chr(9) || chr(10) || chr(13)) AS p
+    FROM (SELECT doc_id, string_split_regex(t, '\\n\\s*\\n') AS parts FROM t),
+         LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+  ) WHERE p <> ''
+),
+pack AS (
+  SELECT doc_id, pidx, p AS pending, length(p) AS psz, 0 AS cidx,
+         NULL::VARCHAR AS emit_text, 0 AS emit_idx
+  FROM paras WHERE pidx = 1
+  UNION ALL
+  SELECT x.doc_id, x.pidx,
+         CASE WHEN k.psz + length(x.p) > 200 THEN x.p
+              ELSE k.pending || chr(10) || chr(10) || x.p END,
+         CASE WHEN k.psz + length(x.p) > 200 THEN length(x.p)
+              ELSE k.psz + length(x.p) END,
+         CASE WHEN k.psz + length(x.p) > 200 THEN k.cidx + 1 ELSE k.cidx END,
+         CASE WHEN k.psz + length(x.p) > 200 THEN k.pending END,
+         k.cidx
+  FROM pack k JOIN paras x ON x.doc_id = k.doc_id AND x.pidx = k.pidx + 1
+)
+SELECT doc_id, emit_idx::BIGINT AS chunk_index, emit_text AS chunk_text
+FROM pack WHERE emit_text IS NOT NULL
+UNION ALL
+SELECT doc_id, cidx::BIGINT, pending FROM (
+  SELECT doc_id, cidx, pending,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pidx DESC) AS rk
+  FROM pack
+) WHERE rk = 1
+"""
+ORACLE_EXT2["chunk_strategy_paragraph"] = _C7_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# E1 model-gated NER — the fallback contract IS the mock path, so the
+# fallback output is oracle-checkable against the mentions islands CTE
+# ---------------------------------------------------------------------------
+
+
+@register("ner_model_mentions", None)  # oracle below
+def q_ner_model_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_mentions_model in this sandbox (no spaCy) must equal the mock
+    extractor exactly (ner.py:63-65 fallback gate) — the oracle is the same
+    gaps-and-islands SQL as `mentions`, plus the mock path's constant
+    type/offsets/confidence."""
+    from .operators.ner_model import extract_mentions_model
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        _cased_spark(F.col("text")).alias("extracted_text"),
+    )
+    out = extract_mentions_model(docs)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("text").alias("entity_text"),
+        "entity_type",
+        F.col("start_char").cast("long").alias("start_char"),
+        F.col("end_char").cast("long").alias("end_char"),
+        "confidence",
+    )
+
+
+def _ner_model_oracle() -> str:
+    from .queries import _MENTIONS_CTE
+
+    return (
+        _MENTIONS_CTE
+        + """
+SELECT doc_id, entity_text, 'PERSON' AS entity_type,
+       0::BIGINT AS start_char, 0::BIGINT AS end_char, 0.5::DOUBLE AS confidence
+FROM mentions
+"""
+    )
+
+
+ORACLE_EXT2["ner_model_mentions"] = _ner_model_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal lanes as driver entries: audio decode is REAL (RIFF+numpy),
+# image/video are the documented deterministic stubs — all three produce
+# stable outputs from pinned fixtures, so constant VALUES oracles apply
+# ---------------------------------------------------------------------------
+
+
+def _media_fixture(spark: SparkSession):
+    import math
+    import struct
+
+    def wav(freq, rate=8000, seconds=0.25):
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack("<h", int(32767 * 0.5 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(frames)) + frames)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    rows = [
+        ("aud-440", "audio", wav(440.0), None),
+        ("aud-880", "audio", wav(880.0), None),
+        ("img-1", "image", b"fake-image-bytes-1", None),
+        ("vid-1", "video", b"fake-video-bytes-1", 3.0),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id: string, media_type: string, payload: binary, duration_s: double"
+    )
+
+
+@register("audio_features", None)  # oracle (VALUES) attached below
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_audio_features
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = extract_audio_features(_media_fixture(spark))
+    return out.select(
+        "media_id", "sample_rate", "channels", "bits",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+@register("video_frame_samples", None)  # oracle (VALUES) attached below
+def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_video_frames
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return sample_video_frames(_media_fixture(spark), fps=1.0, max_frames=4).select(
+        "media_id", "frame_index", F.round("frame_ts_s", 3).alias("frame_ts_s"),
+        "frame_digest",
+    )
+
+
+ORACLE_EXT2["audio_features"] = """
+SELECT * FROM (VALUES
+  ('aud-440', 8000, 1, 16, 0.25::DOUBLE, 0.353526::DOUBLE, 0.499969::DOUBLE),
+  ('aud-880', 8000, 1, 16, 0.25::DOUBLE, 0.353529::DOUBLE, 0.499969::DOUBLE)
+) AS fx(media_id, sample_rate, channels, bits, duration_s, rms, peak)
+"""
+
+ORACLE_EXT2["video_frame_samples"] = """
+SELECT * FROM (VALUES
+  ('vid-1', 0, 0.0::DOUBLE, '2d04d7c8deec039e'),
+  ('vid-1', 1, 1.0::DOUBLE, '5cc43f682efde440'),
+  ('vid-1', 2, 2.0::DOUBLE, '8eccf614ef66e540')
+) AS fx(media_id, frame_index, frame_ts_s, frame_digest)
+"""

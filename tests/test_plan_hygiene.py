@@ -40,6 +40,10 @@ _ARROW_BOUNDS = {
     "graph_ego": (0, 2),          # operates on checkpointed edges
     "warc_ingest": (2, 2),        # WARC parse pass + extract pass
     "ann_ivf_topk": (0, 0),       # MLlib fit happens at plan build
+    "chunk_strategy_paragraph": (1, 1),
+    "ner_model_mentions": (1, 1),
+    "audio_features": (1, 1),
+    "video_frame_samples": (1, 1),
 }
 
 
