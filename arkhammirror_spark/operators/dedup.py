@@ -65,17 +65,22 @@ def shingles(
 def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, h) rows: xxhash64 of each distinct shingle, folded into [0, p).
+    """(id, h) rows: the RAW 64-bit xxhash64 of each distinct shingle.
 
     This is the SLIM frame the near-dup operators share: two longs per
     shingle instead of the raw shingle string (~30 bytes of corpus text per
     row). Both downstream consumers (signatures, exact-Jaccard verify) need
-    only shingle EQUALITY, which the 64-bit hash preserves up to a ~n²/2⁶⁴
-    collision probability — vanishing even at 10¹² shingles, and rehearsed
-    value-identical against the string-based DuckDB oracle.
+    only shingle EQUALITY, which the full 64-bit hash preserves up to a
+    ~n²/2⁶⁴ collision probability — vanishing even at 10¹² shingles, and
+    rehearsed value-identical against the string-based DuckDB oracle.
+
+    The [0, p) fold for minhash arithmetic happens INSIDE
+    minhash_signatures — folding here would shrink the equality key to 31
+    bits (~n²/2³² per-doc collisions: hundreds of silently-wrong Jaccard
+    rows at 600k KB-sized docs).
     """
     return shingles(df, id_col, text_col, n).select(
-        F.col(id_col), (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
+        F.col(id_col), F.xxhash64(F.col("shingle")).alias("h")
     )
 
 
@@ -90,10 +95,13 @@ def minhash_signatures(
     shuffle at K longs per doc.
     """
     params = _hash_params(k, seed)
+    # Fold the 64-bit equality key into [0, p) here, where the mod-p range
+    # is needed for overflow-free (a*h + b) mod p under ANSI. pmod (not
+    # abs % p) — abs(Long.MinValue) throws ARITHMETIC_OVERFLOW in ANSI mode.
     if "h" in sh.columns:
-        base = sh.select(F.col(id_col), F.col("h"))
+        base = sh.select(F.col(id_col), F.pmod(F.col("h"), F.lit(_P)).alias("h"))
     else:
-        h = (F.abs(F.xxhash64(F.col("shingle"))) % F.lit(_P)).alias("h")
+        h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P)).alias("h")
         base = sh.select(F.col(id_col), h)
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh_{i}")

@@ -148,14 +148,27 @@ def graph_statistics(edges: DataFrame) -> DataFrame:
 
 
 def pagerank_distributed(
-    edges: DataFrame, damping: float = 0.85, iterations: int = 20
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Distributed power iteration on the undirected co-mention graph —
     the DataFrame sibling of `pagerank` (algorithms.py:496 semantics:
     r(v) = (1−d)/n + d·Σ_{u∈N(v)} r(u)/deg(u)), for graphs beyond the
     reference's 500-node cap. One join + agg per iteration; the symmetric
     edge list is the only reused frame (slim: two string columns).
-    Returns (name, rank)."""
+    Returns (name, rank).
+
+    quantize=D switches each iteration to FIXED-POINT arithmetic: ranks are
+    held as floor(rank·10^D + 0.5) BIGINTs, per-edge contributions are
+    integer-divided by degree, and the incoming sum is an exact integer sum
+    — order-independent, so the result is bit-identical across partition
+    counts / engines (a float Σ rank/deg is partition-order-dependent at the
+    last ulp, which can flip a round(…, 6) comparison). The quantization
+    error is ≤ deg·10⁻ᴰ per node per iteration — invisible at D=12 when the
+    comparison precision is 6 digits.
+    """
     sym = (
         edges.select(F.col("entity_a").alias("src"), F.col("entity_b").alias("dst"))
         .unionAll(
@@ -172,38 +185,64 @@ def pagerank_distributed(
     ranks = deg.select(
         F.col("src").alias("name"), F.lit(1.0 / n).alias("rank"), "deg"
     )
+    scale = None if quantize is None else 10**quantize
+    if scale is not None:
+        ranks = ranks.withColumn(
+            "r_int", F.floor(F.col("rank") * F.lit(float(scale)) + 0.5)
+        )
     for _ in range(iterations):
+        if scale is None:
+            contrib_col = (F.col("rank") / F.col("deg")).alias("c")
+        else:
+            # BIGINT div BIGINT (both positive → truncate ≡ floor, matching
+            # DuckDB's //); the downstream SUM is over exact integers
+            contrib_col = F.expr("r_int div deg").alias("c")
         contrib = (
             sym.join(ranks, sym.src == ranks.name)
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("dst"), contrib_col)
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = (
-            deg.join(contrib, deg.src == contrib.dst, "left")
-            .select(
-                F.col("src").alias("name"),
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                ).alias("rank"),
-                "deg",
-            )
-            # truncate lineage per round (see connected_components_distributed)
-            .localCheckpoint(eager=True)
+        if scale is None:
+            rank_col = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank")
+        else:
+            rank_col = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("incoming"), F.lit(0)).cast("double")
+                    / F.lit(float(scale))
+                )
+            ).alias("rank")
+        ranks = deg.join(contrib, deg.src == contrib.dst, "left").select(
+            F.col("src").alias("name"), rank_col, "deg"
         )
+        if scale is not None:
+            ranks = ranks.withColumn(
+                "r_int", F.floor(F.col("rank") * F.lit(float(scale)) + 0.5)
+            )
+        # truncate lineage per round (see connected_components_distributed)
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("name", "rank")
     sym.unpersist()
     return out
 
 
 def connected_components_distributed(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 50, require_convergence: bool = True
 ) -> DataFrame:
     """Min-label propagation over (node, component) frames.
 
     Each round: component := min(component over neighbors ∪ self); converges
-    in O(diameter) rounds. Pure DataFrame joins → scales with the cluster
+    in O(diameter) rounds. The loop runs UNTIL the changed-count reaches 0 —
+    max_iterations is a safety cap, and exhausting it without convergence
+    raises (require_convergence=True, default) rather than silently
+    returning partially-propagated labels: a long-chain component deeper
+    than the cap would otherwise produce wrong components that no downstream
+    check can see. Pure DataFrame joins → scales with the cluster
     (what the reference cannot do beyond one process's memory).
     Returns (name, component) where component is the lexicographic min name
     reachable.
@@ -219,6 +258,7 @@ def connected_components_distributed(
     labels = sym.select(F.col("src").alias("name")).distinct().withColumn(
         "component", F.col("name")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.name)
@@ -249,6 +289,13 @@ def connected_components_distributed(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged and require_convergence:
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"{max_iterations} iterations (graph diameter exceeds the cap); "
+            f"raise max_iterations or pass require_convergence=False"
+        )
     return labels

@@ -544,9 +544,24 @@ rare_tokens AS (
   HAVING count(*) <= greatest(10, ceil(n * 0.01))
 ),
 rare AS (SELECT cid, w FROM ex WHERE w IN (SELECT w FROM rare_tokens)),
+fps AS (
+  SELECT cid,
+         array_to_string(list_sort(list_filter(
+           list_distinct(list_filter(string_split_regex(
+             lower(regexp_replace(lower(ctext), '\\b\\d+(?:,\\d{{3}})*(?:\\.\\d+)?\\b', 'NUM', 'g')),
+             '\\s+'), w -> length(w) > 0)),
+           w -> w NOT IN ('not','is','no','yes','never','always','did'))), ' ') AS fp
+  FROM toks
+),
 cand AS (
-  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
-  FROM rare a JOIN rare b ON a.w = b.w AND a.cid < b.cid
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.cid AS id_a, b.cid AS id_b
+    FROM rare a JOIN rare b ON a.w = b.w AND a.cid < b.cid
+    UNION ALL
+    SELECT a.cid AS id_a, b.cid AS id_b
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.cid < b.cid
+    WHERE length(a.fp) > 0
+  )
 ),
 pairs AS (
   SELECT c.id_a, c.id_b, ta.ctext AS text_a, tb.ctext AS text_b,
@@ -813,7 +828,9 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import q_comention_edges
 
     edges = q_comention_edges(spark, sf_dir)
-    return connected_components_distributed(edges, max_iterations=15)
+    # runs to convergence (changed-count 0); the cap only guards runaways
+    # and RAISES if exhausted, so an unconverged labeling can never pass
+    return connected_components_distributed(edges, max_iterations=50)
 
 
 def _cc_oracle() -> str:
@@ -851,24 +868,42 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import q_comention_edges
 
     edges = q_comention_edges(spark, sf_dir)
-    pr = pagerank_distributed(edges, damping=0.85, iterations=_PR_ITERS)
+    # quantize=12: fixed-point per-iteration ranks → the incoming sum is an
+    # exact BIGINT sum, order-independent across partition counts, so the
+    # round(…, 6) comparison vs DuckDB cannot flake on float sum order
+    pr = pagerank_distributed(
+        edges, damping=0.85, iterations=_PR_ITERS, quantize=12
+    )
     return pr.select("name", F.round("rank", 6).alias("rank"))
 
 
 def _pr_oracle() -> str:
+    """Fixed-point mirror of pagerank_distributed(quantize=12): per-edge
+    contributions are BIGINT floor-divisions and the incoming sum is an
+    exact integer sum, so the value is identical on both engines regardless
+    of partition/aggregation order (a float SUM(rank/deg) is order-dependent
+    at the last ulp — CLAUDE.md invariant 2). The (1.0-0.85) and 0.85
+    factors are written as the same IEEE double expressions Spark folds
+    (1.0-0.85 != 0.15 in binary)."""
     from .queries import ORACLE_SQL as _BASE
 
+    # rank expression for iteration t, given integer incoming sum c.inc
+    rank_expr = (
+        "(1.0::DOUBLE - 0.85::DOUBLE) / nn.n"
+        " + 0.85::DOUBLE * (coalesce(c.inc, 0)::DOUBLE / 1e12)"
+    )
     iters = ""
     prev = "r0"
     for t in range(1, _PR_ITERS + 1):
         iters += f""",
 c{t} AS (
-  SELECT s.dst, sum(r.rank / r.deg) AS inc
+  SELECT s.dst, sum(r.r_int // r.deg) AS inc
   FROM sym s JOIN {prev} r ON s.src = r.name GROUP BY 1
 ),
 r{t} AS (
   SELECT d.src AS name,
-         (1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inc, 0.0) AS rank,
+         {rank_expr} AS rank,
+         CAST(floor(({rank_expr}) * 1e12 + 0.5) AS BIGINT) AS r_int,
          d.deg
   FROM deg d LEFT JOIN c{t} c ON d.src = c.dst, nn
 )"""
@@ -882,7 +917,11 @@ sym AS (
 ),
 deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
 nn AS (SELECT count(*) AS n FROM deg),
-r0 AS (SELECT d.src AS name, 1.0 / nn.n AS rank, d.deg FROM deg d, nn){iters}
+r0 AS (
+  SELECT d.src AS name, 1.0::DOUBLE / nn.n AS rank,
+         CAST(floor((1.0::DOUBLE / nn.n) * 1e12 + 0.5) AS BIGINT) AS r_int,
+         d.deg
+  FROM deg d, nn){iters}
 SELECT name, round(rank, 6) AS rank FROM {prev}
 """
 

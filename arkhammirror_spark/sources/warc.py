@@ -54,6 +54,33 @@ PAGES_SCHEMA = StructType(
 _CRLF2 = b"\r\n\r\n"
 
 
+def _bounded_gunzip(raw: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream with the same
+    bomb caps as reference_impl.archive — chunked, so a hostile 1000×+
+    .warc.gz quarantines as an error row instead of OOMing the executor.
+    GzipFile reads concatenated members transparently."""
+    from ..reference_impl.archive import (
+        MAX_COMPRESSION_RATIO,
+        MAX_UNCOMPRESSED_SIZE,
+        _bomb_check,
+    )
+
+    cap = min(MAX_UNCOMPRESSED_SIZE, MAX_COMPRESSION_RATIO * len(raw))
+    chunks: list[bytes] = []
+    total = 0
+    with gzip.GzipFile(fileobj=io.BytesIO(raw)) as gf:
+        while True:
+            chunk = gf.read(min(1 << 20, cap + 1 - total))
+            if not chunk:
+                break
+            chunks.append(chunk)
+            total += len(chunk)
+            if total > cap:
+                _bomb_check(len(raw), total, 1)  # raises the precise reason
+                raise ValueError("gzip stream exceeded decompression cap")
+    return b"".join(chunks)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in block.split(b"\r\n")[1:]:  # first line is the version/status
@@ -73,7 +100,7 @@ def parse_warc_records(raw: bytes) -> list[dict]:
     malformed — then the partial fields + error survive for quarantine).
     """
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)  # handles concatenated members
+        raw = _bounded_gunzip(raw)  # handles concatenated members, bomb-capped
 
     out: list[dict] = []
     pos = 0

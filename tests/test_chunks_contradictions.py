@@ -130,6 +130,32 @@ class TestContradictions:
         # without the cap, 'the'/'is'/'value' keys alone give ~n²/2 ≈ 80k pairs
         assert len(got) < 50
 
+    def test_fingerprint_channel_recovers_negated_boilerplate(self, spark):
+        """Pairs whose ENTIRE shared vocabulary is above the DF cap (negated
+        or numeric variants of corpus-wide boilerplate) must still block via
+        the masked-fingerprint channel — the rare-token channel alone cannot
+        see them."""
+        n = 200
+        rows = [
+            (i, f"status alpha is ready count for metric extra{i}")
+            for i in range(n)
+        ]
+        rows += [
+            (900, "status alpha is ready"),
+            (901, "status alpha is not ready"),
+            (910, "count for metric is 100"),
+            (911, "count for metric is 200"),
+        ]
+        claims = spark.createDataFrame(rows, "claim_id: long, claim_text: string")
+        got = {
+            (r["id_a"], r["id_b"]): r["contradiction_type"]
+            for r in detect_contradictions(claims, threshold=0.5).collect()
+        }
+        assert got.get((900, 901)) == "direct"
+        assert got.get((910, 911)) == "numeric"
+        # fillers have unique fingerprints/rare tokens: no candidate blowup
+        assert len(got) == 2
+
     def test_df_cap_preserves_similarity_exactness(self, spark):
         """Similarity is exact full-word-set Jaccard even though the join key
         excludes common tokens."""

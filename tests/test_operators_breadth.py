@@ -168,6 +168,26 @@ class TestDedup:
         assert sigs[1] == sigs[4]
         assert sigs[1] != sigs[3]
 
+    def test_shingle_hashes_carry_full_64bit_key(self, spark, docs):
+        # the Jaccard equality key must be the RAW xxhash64 (full 64-bit
+        # range, negatives included), not a 31-bit fold — a folded key
+        # collides at ~n²/2³² per doc and silently inflates n_shared
+        from arkhammirror_spark.operators.dedup import shingle_hashes
+
+        hs = [r["h"] for r in shingle_hashes(docs, n=3).collect()]
+        assert min(hs) < 0 or max(hs) >= (1 << 31)  # escaped the [0, 2^31) fold
+        # signature path still folds into [0, p): all minhash values bounded
+        sh = shingle_hashes(docs, n=3)
+        sigs = minhash_signatures(sh, k=8).collect()
+        for r in sigs:
+            assert all(0 <= v < (1 << 31) - 1 for v in r["signature"])
+        # raw-shingle and hashed-frame inputs produce identical signatures
+        sigs2 = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signatures(shingles(docs, n=3), k=8).collect()
+        }
+        assert {r["doc_id"]: r["signature"] for r in sigs} == sigs2
+
     def test_simhash_dup_and_neardup(self, spark, docs):
         sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
         assert sims[1] == sims[4]

@@ -54,6 +54,36 @@ class TestParser:
     def test_deterministic_bytes(self):
         assert build_warc(RECORDS) == build_warc(RECORDS)
 
+    def test_gzip_bomb_capped_not_oomed(self):
+        # 64 KiB of zeros compresses ~1000:1; shrink the ratio cap so the
+        # parser must abort mid-stream instead of materializing the payload
+        from arkhammirror_spark.reference_impl import archive as arc
+
+        bomb = gzip.compress(b"\x00" * (64 * 1024))
+        old = arc.MAX_COMPRESSION_RATIO
+        arc.MAX_COMPRESSION_RATIO = 10
+        try:
+            with pytest.raises(ValueError, match="ratio|cap"):
+                parse_warc_records(bomb)
+        finally:
+            arc.MAX_COMPRESSION_RATIO = old
+
+    def test_gzip_bomb_is_error_row_in_pages(self, spark):
+        # monkeypatching the cap can't reach the separate python worker
+        # processes, so trip the DEFAULT 1000x ratio cap for real: gzip on
+        # zeros achieves ~1026:1 (deflate max ≈ 1032:1), deterministically
+        # above the cap — the chunked loop must abort, not materialize
+        big_bomb = gzip.compress(b"\x00" * (10 * 1024 * 1024))
+        seg = spark.createDataFrame(
+            [("mem://bomb", bytearray(big_bomb))], "path string, content binary"
+        )
+        rows = warc_to_pages(seg).collect()
+        assert len(rows) == 1
+        assert rows[0]["error"] and (
+            "ratio" in rows[0]["error"] or "cap" in rows[0]["error"]
+        )
+        assert rows[0]["html"] is None
+
 
 class TestSparkReader:
     def test_read_warc_files(self, spark, tmp_path):
