@@ -217,28 +217,26 @@ def pairwise_cosine_above(
     return pairs.where(F.col("cosine") >= threshold)
 
 
-def ivf_topk(
+def fit_ivf(
     emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
-    n_probe: int = 2,
     seed: int = 7,
-) -> DataFrame:
-    """IVF (inverted-file) ANN — the coarse-quantizer alternative to the
-    hyperplane LSH path: k-means the corpus into `n_clusters` lists (MLlib
-    KMeans, one fit, reusable across queries), then scan only the `n_probe`
-    lists whose centroids are nearest the query and rank by exact cosine.
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit the IVF coarse quantizer ONCE: k-means the corpus into
+    `n_clusters` inverted lists (the pgvector-ivfflat analogue,
+    arkham-frame/services/vectors.py:469-548 — `CREATE INDEX ... USING
+    ivfflat (embedding) WITH (lists = N)` builds exactly this structure).
 
-    Probed fraction ≈ n_probe/n_clusters of the corpus; recall grows with
-    n_probe (IVF's standard knob). At 10^12 rows the cluster assignment is a
-    materialized column (bucketed by list id — see operators.bucketing) and
-    the fit runs on a sample; here both happen inline.
+    Returns (cluster centers, assigned DataFrame (id, v, list_id)). The
+    assignment is the expensive part — at scale, materialize it once:
+    `operators.bucketing.write_bucketed(assigned, ..., bucket_col="list_id")`
+    gives Exchange-free probes, the Iceberg story being a `bucket(N,
+    list_id)` partition transform. Repeated queries then call `ivf_probe`
+    with no re-fit (the round-2 API re-fit KMeans per query — a
+    scale-killer for repeated ANN lookups).
     """
-    import numpy as np
-
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -250,10 +248,26 @@ def ivf_topk(
     assigned = model.transform(feats).select(
         F.col(id_col), "v", F.col(model.getPredictionCol()).alias("list_id")
     )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return centers, assigned
 
-    centers = np.asarray(model.clusterCenters())
+
+def ivf_probe(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Scan only the `n_probe` inverted lists whose centroids are nearest
+    the query; rank by exact cosine. Probed fraction ≈ n_probe/n_clusters;
+    recall grows with n_probe (IVF's standard knob)."""
+    import numpy as np
+
+    c = np.asarray(centers)
     q = np.asarray(query_vec, dtype=float)
-    d2 = ((centers - q) ** 2).sum(axis=1)
+    d2 = ((c - q) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2)[:n_probe]]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -263,3 +277,20 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """One-shot IVF ANN: fit_ivf + ivf_probe. Convenience for single
+    queries — issue repeated queries through fit_ivf ONCE + ivf_probe per
+    query (see fit_ivf docstring)."""
+    centers, assigned = fit_ivf(emb, id_col, vec_col, n_clusters, seed)
+    return ivf_probe(assigned, centers, query_vec, k, id_col, n_probe)

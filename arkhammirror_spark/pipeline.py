@@ -207,9 +207,19 @@ def run_pipeline(
         # snapshots were fully processed by their own runs)
         docs_raw = catalog.read_snapshot(spark, "docs", snapshot_id)
     else:
-        from pyspark import StorageLevel
+        # No catalog: still NEVER persist the full frame — extracted_text +
+        # _mentions in the block cache is the exact invariant-5 violation
+        # (measured 3× slowdown at 600k docs). Use the same
+        # write-then-pruned-read storage checkpoint as the catalog path,
+        # into a synthesized scratch dir (recorded in stats["scratch_dir"];
+        # it must outlive the returned lazy DataFrames).
+        import tempfile
 
-        docs_raw = docs_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        scratch = tempfile.mkdtemp(prefix="arkham_docs_scratch_")
+        scratch_path = f"{scratch}/docs_{snapshot_id}"
+        docs_raw.write.mode("overwrite").parquet(scratch_path)
+        docs_raw = spark.read.parquet(scratch_path)
+        stats["scratch_dir"] = scratch
 
     audit = _audit_from_docs(docs_raw, snapshot_id)
     _PRIVATE = ("_part_id", "_batch_ms", "_mentions", "_names", "_n_mentions")

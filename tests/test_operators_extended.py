@@ -478,3 +478,31 @@ class TestIvfAnn:
         # with 1 of 6 lists probed, far fewer than all 60 rows survive the scan
         n = out.count()
         assert 0 < n < 40
+
+    def test_fit_once_probe_many(self, spark):
+        """Repeated ANN queries reuse ONE KMeans fit: fit_ivf → N×ivf_probe,
+        each probe matching the one-shot ivf_topk result (same seed)."""
+        from arkhammirror_spark.operators.embed_model import fake_embedding
+        from arkhammirror_spark.operators.similarity import (
+            fit_ivf,
+            ivf_probe,
+            ivf_topk,
+        )
+
+        rows = []
+        for vid in range(80):
+            anchor = fake_embedding(f"block{vid // 10}", dim=16)
+            vec = [a + 0.001 * (vid % 10) * (((j + vid) % 5) - 2)
+                   for j, a in enumerate(anchor)]
+            rows.append((vid, vec))
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        centers, assigned = fit_ivf(emb, n_clusters=8)
+        assigned = assigned.localCheckpoint(eager=True)  # materialized lists
+        assert len(centers) == 8 and len(centers[0]) == 16
+        for block in ("block0", "block3"):
+            qv = fake_embedding(block, dim=16)
+            reused = [r["vec_id"] for r in
+                      ivf_probe(assigned, centers, qv, k=9, n_probe=2).collect()]
+            oneshot = [r["vec_id"] for r in
+                       ivf_topk(emb, qv, k=9, n_clusters=8, n_probe=2).collect()]
+            assert reused == oneshot

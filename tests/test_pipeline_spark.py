@@ -205,6 +205,23 @@ class TestExtractionStats:
         assert stats["mentions"] == res.tables["mentions"].count()
         assert stats["edges"] == res.tables["edges"].count()
 
+    def test_no_catalog_path_never_persists_heavy_frame(self, spark, pages):
+        """CLAUDE.md invariant 5 on EVERY path: the no-catalog pipeline must
+        storage-checkpoint (write-then-pruned-read), not cache a frame that
+        carries extracted_text/_mentions. Verified structurally: downstream
+        tables read from the scratch parquet (FileScan), no InMemoryRelation
+        anywhere in their plans."""
+        import os
+
+        from arkhammirror_spark.pipeline import run_pipeline
+
+        res = run_pipeline(spark, pages, out_dir=None, num_partitions=8)
+        assert "scratch_dir" in res.stats and os.path.isdir(res.stats["scratch_dir"])
+        for name in ("docs", "mentions", "rels", "chunks", "claims", "dates"):
+            plan = res.tables[name]._jdf.queryExecution().optimizedPlan().toString()
+            assert "InMemoryRelation" not in plan, f"{name} reads a cached frame"
+        assert res.tables["docs"].count() > 0
+
     def test_name_set_edges_equal_mention_edges(self, spark, pages):
         from pyspark.sql import functions as F
         from arkhammirror_spark.operators.edges import (

@@ -48,8 +48,10 @@ def _rows_to_multiset(cols, rows):
 
 # genuinely-approximate or non-SQL ops: the driver records a weaker
 # rows-only check for these; keep the set explicit so nothing silently
-# drops out of oracle coverage
-ROWS_ONLY = {"ann_lsh_topk", "ann_ivf_topk"}
+# drops out of oracle coverage. Round 3: EMPTY — ann_lsh_topk now has a
+# fully exact oracle (plane-literal bucket mirror) and ann_ivf_topk a
+# pinned recall gate.
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
