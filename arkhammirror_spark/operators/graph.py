@@ -231,6 +231,108 @@ def pagerank_distributed(
     return out
 
 
+def betweenness_distributed(
+    edges: DataFrame,
+    limit: int = 50,
+    sample_sources: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Source-parallel betweenness for graphs beyond the reference's
+    500-node driver cap (builder.py:166) — the distributed sibling of
+    graph_algorithms.betweenness_centrality, same per-source semantics.
+
+    Decomposition: per-source shortest-path-transit counting is independent
+    across sources, so the adjacency (slim: string pairs) is broadcast once
+    and the SOURCE list is what distributes — each task runs the exact
+    reference enumeration (graph_algorithms._shortest_path_transits) for
+    its sources, partial (node, count) rows reduce map-side. Exact when
+    sample_sources is None; with sampling it is the Brandes–Pich style
+    estimator (scores scaled by n/|S|). Fits graphs up to executor memory
+    (~10⁷ edges) — far past the reference cap, though not the edge-table
+    scale that CC/PageRank's join-per-round forms handle.
+
+    Rank ties break lexicographically by node (deterministic under any
+    partitioning; the driver-side sibling uses accumulation order).
+    Returns (node, score, rank) for the top `limit`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..shipping import ensure_shipped
+    from .graph_algorithms import _shortest_path_transits
+
+    spark = edges.sparkSession
+    ensure_shipped(spark)
+    rows = edges.select("entity_a", "entity_b").collect()
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r["entity_a"], []).append(r["entity_b"])
+        adj.setdefault(r["entity_b"], []).append(r["entity_a"])
+    nodes: list[str] = []
+    seen: set[str] = set()
+    for r in rows:
+        for v in (r["entity_a"], r["entity_b"]):
+            if v not in seen:
+                seen.add(v)
+                nodes.append(v)
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], "node string, score double, rank int")
+
+    sources = nodes
+    scale = 1.0
+    if sample_sources is not None and sample_sources < n:
+        import random
+
+        sources = random.Random(seed).sample(nodes, sample_sources)
+        scale = n / sample_sources
+
+    bc = spark.sparkContext.broadcast((adj, nodes))
+
+    src_df = spark.createDataFrame([(s,) for s in sources], "src string")
+    parallelism = min(len(sources), spark.sparkContext.defaultParallelism)
+    src_df = src_df.repartition(parallelism)
+
+    out_schema = StructType(
+        [StructField("node", StringType(), False),
+         StructField("cnt", LongType(), False)]
+    )
+
+    def _run(batches):
+        import pandas as pd_  # executor-side
+
+        adj_b, nodes_b = bc.value
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for src in pdf["src"].tolist():
+                for node, c in _shortest_path_transits(adj_b, src, nodes_b).items():
+                    acc[node] = acc.get(node, 0) + c
+            yield pd_.DataFrame(
+                {"node": list(acc.keys()), "cnt": list(acc.values())},
+                columns=["node", "cnt"],
+            )
+
+    norm = (n - 1) * (n - 2) / 2 if n > 2 else 1
+    scored = (
+        src_df.mapInPandas(_run, out_schema)
+        .groupBy("node")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "node",
+            (F.col("cnt") * F.lit(scale) / F.lit(float(norm))).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("node"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= limit
+    )
+
+
 def connected_components_distributed(
     edges: DataFrame, max_iterations: int = 50, require_convergence: bool = True
 ) -> DataFrame:

@@ -15,14 +15,20 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .operators.anomalies import zscore_anomalies
 from .operators.dedup import ngram_jaccard_pairs, verified_neardup_pairs
 from .operators.timeline import extract_timeline_events
 from .queries import _cased_spark, _cased_sql, _load
 from .reference_impl.ner import mock_ner
-from .reference_impl.relations import extract_relations
 
 BM25_TERMS = ["customer", "spark", "window"]
 _STOP = (
@@ -448,38 +454,60 @@ UNION ALL SELECT * FROM prd_ok WHERE date_start IS NOT NULL
 def q_relations_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 relations on the mock-NER path: degenerate 0/0 offsets → every
     mention pair in document order becomes co_occurrence conf 0.5
-    (relations.py:108-121 arithmetic)."""
+    (relations.py:108-121 arithmetic).
+
+    Round 3: ONE mock_ner pass per doc emitting the ordered names array;
+    the O(m²) pair expansion is the pipeline's native whole-stage-codegen
+    combination (spans.extract_rels_from_mentions shape) instead of
+    re-running extract_relations in Python per doc. Semantics identical —
+    the extract_relations ≡ pair-combination parity stays pinned by
+    tests/test_pipeline_spark.py's differential test."""
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", _cased_spark(F.col("text")).alias("t")
     )
-    schema = StructType(
+    names_schema = StructType(
         [
             StructField("doc_id", LongType(), False),
-            StructField("source_text", StringType(), False),
-            StructField("target_text", StringType(), False),
-            StructField("relation_type", StringType(), False),
-            StructField("confidence", DoubleType(), False),
+            StructField("names", ArrayType(StringType()), False),
         ]
     )
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
-                rels = extract_relations(t or "", mock_ner(t or ""))
-                for r in rels:
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "source_text": r["source_text"],
-                            "target_text": r["target_text"],
-                            "relation_type": r["relation_type"],
-                            "confidence": r["confidence"],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            rows = [
+                {"doc_id": doc_id,
+                 "names": [m["text"] for m in mock_ner(t or "")]}
+                for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist())
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "names"])
 
-    return docs.mapInPandas(_run, schema)
+    with_names = docs.mapInPandas(_run, names_schema)
+    names = F.col("names")
+    sz = F.size(names)
+    pairs = F.when(
+        sz >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), sz - 2),
+                lambda i: F.transform(
+                    F.slice(names, i + 2, sz - i - 1),
+                    lambda t: F.struct(
+                        F.element_at(names, i + 1).alias("source_text"),
+                        t.alias("target_text"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<source_text:string,target_text:string>>")
+    )
+    return with_names.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        F.col("p.source_text"),
+        F.col("p.target_text"),
+        F.lit("co_occurrence").alias("relation_type"),
+        F.lit(0.5).alias("confidence"),
+    )
 
 
 def q_red_flag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1575,6 +1575,63 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_fixture(spark: SparkSession):
+    """Deterministic gradient image, encoded as PNG and as BMP (same
+    pixels), plus a junk row that must quarantine — exercises the REAL
+    stdlib decode lane (zlib PNG unfilter / BMP) end to end."""
+    import numpy as np
+
+    from .operators.multimodal import encode_bmp, encode_png
+
+    w, h = 12, 8
+    x = np.arange(w, dtype=np.uint8)
+    r = np.tile(x * 20, (h, 1))
+    g = np.tile((np.arange(h, dtype=np.uint8) * 30)[:, None], (1, w))
+    b = np.full((h, w), 7, dtype=np.uint8)
+    arr = np.stack([r, g, b], axis=2)
+    rows = [
+        ("img-png", "image", encode_png(arr), None),
+        ("img-bmp", "image", encode_bmp(arr), None),
+        ("img-junk", "image", b"\xff\xd8not-really-jpeg", None),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id: string, media_type: string, payload: binary, duration_s: double"
+    )
+
+
+@register("image_features", None)  # oracle (VALUES) attached below
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 image lane, driver-checked: gradient PNG and BMP of the SAME
+    pixels must decode through the stdlib lane to identical dims and
+    identical grayscale/Otsu stats (image_worker.py:212-687 semantics);
+    the junk row quarantines. Values pinned (numpy arithmetic on a
+    deterministic fixture, like the audio_features WAV pins)."""
+    from .operators.multimodal import extract_image_features
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = extract_image_features(_image_fixture(spark), mode="auto")
+    f = lambda i: F.round(F.element_at("feature", i), 6)  # noqa: E731
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "width", "height",
+        f(1).alias("f_mean"), f(2).alias("f_std"), f(3).alias("f_min"),
+        f(4).alias("f_max"), f(5).alias("f_median"), f(6).alias("f_otsu"),
+        f(7).alias("f_fg"), f(8).alias("f_aspect"),
+    )
+
+
+ORACLE_EXT2["image_features"] = """
+SELECT * FROM (VALUES
+  ('img-png', 12, 8, 0.373815::DOUBLE, 0.177599::DOUBLE, 0.003922::DOUBLE,
+   0.745098::DOUBLE, 0.372549::DOUBLE, 0.376471::DOUBLE, 0.479167::DOUBLE,
+   0.375::DOUBLE),
+  ('img-bmp', 12, 8, 0.373815::DOUBLE, 0.177599::DOUBLE, 0.003922::DOUBLE,
+   0.745098::DOUBLE, 0.372549::DOUBLE, 0.376471::DOUBLE, 0.479167::DOUBLE,
+   0.375::DOUBLE)
+) AS fx(media_id, width, height, f_mean, f_std, f_min, f_max, f_median,
+        f_otsu, f_fg, f_aspect)
+"""
+
 ORACLE_EXT2["audio_features"] = """
 SELECT * FROM (VALUES
   ('aud-440', 8000, 1, 16, 0.25::DOUBLE, 0.353526::DOUBLE, 0.499969::DOUBLE),

@@ -110,6 +110,79 @@ class TestArchives:
         gz = gzip.compress(b"gz content here")
         assert extract_archive_members(gz) == [("member", b"gz content here")]
 
+    def test_bz2_xz_single_member_and_tar_resniff(self):
+        import bz2, io, lzma, tarfile
+
+        from arkhammirror_spark.reference_impl.archive import (
+            extract_archive_members,
+            sniff_archive,
+        )
+
+        assert sniff_archive(bz2.compress(b"x")) == "bz2"
+        assert sniff_archive(lzma.compress(b"x")) == "xz"
+        assert extract_archive_members(bz2.compress(b"bz2 body")) == [
+            ("member", b"bz2 body")
+        ]
+        assert extract_archive_members(lzma.compress(b"xz body")) == [
+            ("member", b"xz body")
+        ]
+        # tar.bz2 / tar.xz re-sniff into the tar branch
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            data = b"nested tar member"
+            info = tarfile.TarInfo("n.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        tar_raw = buf.getvalue()
+        for wrapped in (bz2.compress(tar_raw), lzma.compress(tar_raw)):
+            assert extract_archive_members(wrapped) == [("n.txt", data)]
+
+    def test_bz2_bomb_capped(self):
+        import bz2
+
+        import pytest as _pt
+
+        # bz2 on zeros compresses ~100000:1 — way over the 1000x gate
+        bomb = bz2.compress(b"\x00" * 50_000_000)
+        from arkhammirror_spark.reference_impl.archive import extract_archive_members
+
+        with _pt.raises(ValueError, match="ratio|cap"):
+            extract_archive_members(bomb)
+
+    def test_7z_rar_gated_with_install_hint(self):
+        """py7zr/rarfile are absent in this sandbox: the branches must raise
+        the reference's ImportError install hints (archive_worker.py:430,466),
+        not a generic unsupported-format error — sniffing works regardless."""
+        import pytest as _pt
+
+        from arkhammirror_spark.reference_impl.archive import (
+            extract_archive_members,
+            sniff_archive,
+        )
+
+        seven = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 64
+        rar = b"Rar!\x1a\x07\x00" + b"\x00" * 64
+        assert sniff_archive(seven) == "7z"
+        assert sniff_archive(rar) == "rar"
+        try:
+            import py7zr  # noqa: F401
+
+            have_7z = True
+        except ImportError:
+            have_7z = False
+        if not have_7z:
+            with _pt.raises(ImportError, match="pip install py7zr"):
+                extract_archive_members(seven)
+        try:
+            import rarfile  # noqa: F401
+
+            have_rar = True
+        except ImportError:
+            have_rar = False
+        if not have_rar:
+            with _pt.raises(ImportError, match="pip install rarfile"):
+                extract_archive_members(rar)
+
     def test_spark_explode_then_extract(self, spark):
         from arkhammirror_spark.operators.archives import explode_archives
         from arkhammirror_spark.operators.extract import extract_docs

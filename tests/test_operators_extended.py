@@ -119,6 +119,54 @@ class TestGraph:
         assert shortest_path(edges, "a", "c") in (["a", "c"],)
         assert shortest_path(edges, "a", "y") is None
 
+    def test_betweenness_distributed_matches_driver_side(self, spark):
+        """Source-parallel betweenness must give the exact per-node scores
+        of graph_algorithms.betweenness_centrality (same per-source transit
+        enumeration, distributed over sources) on a graph with real interior
+        nodes — a path-with-branches fixture, no score ties."""
+        import random
+
+        from arkhammirror_spark.operators.graph import betweenness_distributed
+        from arkhammirror_spark.operators.graph_algorithms import (
+            betweenness_centrality,
+        )
+
+        rng = random.Random(5)
+        nodes = [f"n{i:02d}" for i in range(12)]
+        pairs = {(nodes[i], nodes[i + 1]) for i in range(11)}  # path spine
+        while len(pairs) < 18:
+            a, b = rng.sample(nodes, 2)
+            if a > b:
+                a, b = b, a
+            pairs.add((a, b))
+        edge_rows = [(a, b, 1) for a, b in sorted(pairs)]
+        edges = spark.createDataFrame(
+            edge_rows,
+            "entity_a: string, entity_b: string, co_occurrence_count: long",
+        )
+        driver = {r["node"]: r["score"] for r in
+                  betweenness_centrality(edge_rows, limit=100)}
+        dist = {r["node"]: r["score"] for r in
+                betweenness_distributed(edges, limit=100).collect()}
+        for node, score in driver.items():
+            assert abs(dist.get(node, 0.0) - score) < 1e-9, node
+
+    def test_betweenness_distributed_sampled_estimator(self, spark):
+        from arkhammirror_spark.operators.graph import betweenness_distributed
+
+        # star: hub transits every spoke pair; spokes transit nothing
+        star = spark.createDataFrame(
+            [("hub", f"s{i}", 1) for i in range(6)],
+            "entity_a: string, entity_b: string, co_occurrence_count: long",
+        )
+        out = {r["node"]: r for r in
+               betweenness_distributed(star, sample_sources=3).collect()}
+        assert out["hub"]["rank"] == 1
+        assert out["hub"]["score"] > 0
+        for k, r in out.items():
+            if k != "hub":
+                assert r["score"] == 0.0
+
     def test_ego(self, spark, edges):
         sub = ego_network(edges, "a", depth=1).collect()
         assert {(r["entity_a"], r["entity_b"]) for r in sub} == {
@@ -169,26 +217,84 @@ class TestLinking:
         assert got[0]["canonical_id"] == "C1"
 
 
+def _gradient_rgb(w=12, h=8):
+    import numpy as np
+
+    x = np.arange(w, dtype=np.uint8)
+    r = np.tile(x * 20, (h, 1))
+    g = np.tile((np.arange(h, dtype=np.uint8) * 30)[:, None], (1, w))
+    b = np.full((h, w), 7, dtype=np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
+        from arkhammirror_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            encode_bmp,
+            encode_png,
+        )
+
         rows = [
-            ("m1", "image", b"\x89PNGfake1", "image/png", None, None, None),
+            ("m1", "image", encode_png(_gradient_rgb()), "image/png",
+             None, None, None),
+            ("mb", "image", encode_bmp(_gradient_rgb()), "image/bmp",
+             None, None, None),
+            ("mj", "image", b"\x89PNGfake1", "image/png", None, None, None),
             ("m2", "image", None, "image/png", None, None, None),  # poison
             ("v1", "video", b"\x00fakevid", "video/mp4", None, None, 5.0),
         ]
-        from arkhammirror_spark.operators.multimodal import MEDIA_SCHEMA
-
         return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
-    def test_image_features_deterministic_with_quarantine(self, media):
+    def test_image_features_real_stdlib_decode(self, media):
+        """auto mode without PIL: PNG/BMP decode for REAL through the
+        stdlib lane — true dims, grayscale-stat features; junk and null
+        payloads quarantine."""
         got = {r["media_id"]: r for r in extract_image_features(media).collect()}
-        assert got["m1"]["error"] is None
-        assert len(got["m1"]["feature"]) == 8
-        assert got["m2"]["error"] is not None
-        # deterministic: rerun equals
+        for mid in ("m1", "mb"):
+            assert got[mid]["error"] is None
+            assert (got[mid]["width"], got[mid]["height"]) == (12, 8)
+            assert len(got[mid]["feature"]) == 8
+        # PNG and BMP of the same pixels → identical features
+        assert got["m1"]["feature"] == got["mb"]["feature"]
+        assert got["mj"]["error"] is not None  # junk: quarantined
+        assert got["m2"]["error"] is not None  # null payload
         again = {r["media_id"]: r for r in extract_image_features(media).collect()}
         assert again["m1"]["feature"] == got["m1"]["feature"]
+
+    def test_image_features_mock_mode_parity(self, media):
+        """mock mode keeps the payload-hash fake: deterministic, and even
+        junk bytes 'decode' (plumbing tests on machines with no fixtures)."""
+        got = {r["media_id"]: r for r in
+               extract_image_features(media, mode="mock").collect()}
+        assert got["mj"]["error"] is None
+        assert len(got["mj"]["feature"]) == 8
+        again = {r["media_id"]: r for r in
+                 extract_image_features(media, mode="mock").collect()}
+        assert again["mj"]["feature"] == got["mj"]["feature"]
+
+    def test_image_features_strict_requires_pil(self, media):
+        """strict mode raises the install-hint ImportError when PIL is
+        absent (the ocr_model strict contract) — this sandbox has no PIL."""
+        with pytest.raises(Exception, match="pillow"):
+            extract_image_features(media, mode="strict").collect()
+
+    def test_resize_thumbnail_semantics(self, media):
+        from arkhammirror_spark.operators.multimodal import resize_images
+
+        got = {r["media_id"]: r for r in
+               resize_images(media, width=6, height=6).collect()}
+        r = got["m1"]
+        assert (r["orig_width"], r["orig_height"]) == (12, 8)
+        # fit inside 6x6 preserving 12:8 aspect → 6x4
+        assert (r["new_width"], r["new_height"]) == (6, 4)
+        assert r["engine"] == "stdlib"
+        exact = {r["media_id"]: r for r in
+                 resize_images(media, width=5, height=9,
+                               maintain_aspect=False).collect()}
+        assert (exact["mb"]["new_width"], exact["mb"]["new_height"]) == (5, 9)
+        assert got["mj"]["error"] is not None
 
     def test_frame_sampling(self, media):
         frames = sample_video_frames(media, fps=1.0).collect()
@@ -405,6 +511,79 @@ class TestOcrModel:
         r = ocr_images(pages, mode="auto").collect()[0]
         assert r["engine"] in ("mock", "paddle")
         assert r["error"] is None
+
+
+class TestVlmOcr:
+    def test_request_body_matches_reference_contract(self):
+        """qwen_worker.py:259-283 wire format, field for field."""
+        from arkhammirror_spark.operators.vlm_ocr import (
+            DEFAULT_OCR_PROMPT,
+            OCR_SYSTEM_PROMPT,
+            build_vlm_request,
+        )
+
+        req = build_vlm_request(b"imgbytes")
+        assert req["model"] == "qwen2.5-vl-7b-instruct"
+        assert req["temperature"] == 0.1 and req["max_tokens"] == 4096
+        sys_msg, user_msg = req["messages"]
+        assert sys_msg == {"role": "system", "content": OCR_SYSTEM_PROMPT}
+        assert "robotic OCR engine" in OCR_SYSTEM_PROMPT
+        text_part, img_part = user_msg["content"]
+        assert text_part == {"type": "text", "text": DEFAULT_OCR_PROMPT}
+        import base64 as b64
+
+        assert img_part["image_url"]["url"] == (
+            "data:image/png;base64," + b64.b64encode(b"imgbytes").decode()
+        )
+
+    def test_parse_response(self):
+        from arkhammirror_spark.operators.vlm_ocr import parse_vlm_response
+
+        assert parse_vlm_response(
+            {"choices": [{"message": {"content": "hi"}}]}
+        ) == "hi"
+        assert parse_vlm_response({}) == ""
+        assert parse_vlm_response({"choices": []}) == ""
+
+    def test_mock_mode_deterministic(self, spark):
+        from arkhammirror_spark.operators.vlm_ocr import vlm_ocr_images
+
+        pages = spark.createDataFrame(
+            [("u1", b"same"), ("u2", b"same"), ("u3", None)],
+            "url: string, payload: binary",
+        )
+        rows = {r["url"]: r for r in vlm_ocr_images(pages, mode="mock").collect()}
+        assert rows["u1"]["engine"] == "mock"
+        assert rows["u1"]["full_text"] == rows["u2"]["full_text"]
+        assert rows["u1"]["full_text"].startswith("[vlm-mock ")
+        assert rows["u3"]["error"] is not None
+
+    def test_injected_transport_runs_real_path(self, spark):
+        """The injected transport must be importable on EXECUTORS — the
+        shipped loopback_transport proves build → transport → parse."""
+        from arkhammirror_spark.operators.vlm_ocr import (
+            loopback_transport,
+            vlm_ocr_images,
+        )
+
+        pages = spark.createDataFrame(
+            [("u1", b"img")], "url: string, payload: binary"
+        )
+        r = vlm_ocr_images(pages, transport=loopback_transport).collect()[0]
+        assert r["engine"] == "vlm"
+        assert r["full_text"] == "TRANSCRIPT parts=2 temp=0.1"
+        assert r["model"] == "qwen2.5-vl-7b-instruct"
+
+    def test_strict_without_transport_raises_connection_hint(self, spark):
+        import pytest as _pt
+
+        from arkhammirror_spark.operators.vlm_ocr import vlm_ocr_images
+
+        pages = spark.createDataFrame(
+            [("u1", b"img")], "url: string, payload: binary"
+        )
+        with _pt.raises(Exception, match="VLM endpoint"):
+            vlm_ocr_images(pages, mode="strict").collect()
 
 
 class TestAudioFeatures:

@@ -44,6 +44,7 @@ _ARROW_BOUNDS = {
     "ner_model_mentions": (1, 1),
     "audio_features": (1, 1),
     "video_frame_samples": (1, 1),
+    "image_features": (1, 1),     # the gated decode mapInPandas pass
 }
 
 
