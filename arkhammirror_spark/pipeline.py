@@ -246,10 +246,25 @@ def run_pipeline(
         tables["claims"] = extract_claims_df(clean)
 
     if catalog:
-        # per-document tables append this run's increment
-        for name, df in tables.items():
-            if name != "docs":  # docs snapshot already written above
-                catalog.write_snapshot(df, name, snapshot_id)
+        # per-document tables append this run's increment. The writes are
+        # INDEPENDENT jobs over the same pruned docs snapshot, so submit
+        # them from worker threads and let Spark's scheduler interleave
+        # their stages — the mentions explode and the regex-heavy
+        # dates/claims scans overlap instead of serializing (each job alone
+        # underutilizes the executors during its narrow final write stage).
+        # Run-level atomicity is untouched: commit_run still happens after
+        # the barrier below.
+        from concurrent.futures import ThreadPoolExecutor
+
+        span_tables = [n for n in tables if n != "docs"]  # docs written above
+        if span_tables:
+            with ThreadPoolExecutor(max_workers=min(4, len(span_tables))) as ex:
+                futures = {
+                    n: ex.submit(catalog.write_snapshot, tables[n], n, snapshot_id)
+                    for n in span_tables
+                }
+                for n, fut in futures.items():
+                    fut.result()  # surface the first failure, keep run orphaned
 
         if with_spans:
             # entities/edges are DERIVED AGGREGATES, not append tables: a

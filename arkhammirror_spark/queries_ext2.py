@@ -1575,6 +1575,67 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_PAGES = [
+    (
+        "https://fx/article",
+        "<html><head><title>T</title><script>var x=1;</script></head><body>"
+        '<div id="nav"><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/b">Blog</a></li><li><a href="/c">Contact page</a></li>'
+        "</ul></div><article><h1>The Article Title Goes Here</h1>"
+        "<p>This is the first real paragraph of the article with plenty of "
+        "textual content to pass the threshold easily.</p>"
+        "<p>Short link.</p>"
+        "<p>Another long paragraph of genuine article content that definitely "
+        "exceeds twenty five characters in length.</p>"
+        '<p>See <a href="/r1">reference one</a> and <a href="/r2">reference '
+        "two</a> plus barely any text.</p></article>"
+        '<div class="footer"><a href="/tos">Terms of service</a> | '
+        '<a href="/priv">Privacy policy</a></div></body></html>',
+    ),
+    (
+        "https://fx/cjk",
+        "<html><body><p>深圳全年气候温和这是一段足够长的正文内容用于测试字符阈值逻辑是否正确工作</p>"
+        '<p><a href="/n1">导航一</a><a href="/n2">导航二</a></p></body></html>',
+    ),
+    (
+        "https://fx/linkfarm",
+        "<html><body>"
+        + "".join(f'<p><a href="/l{i}">link target number {i}</a></p>' for i in range(8))
+        + "</body></html>",
+    ),
+]
+
+
+@register("main_content", None)  # oracle (VALUES) attached below
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star boilerplate lane driver gate: flattened-DOM node table +
+    native density scoring over deterministic fixture pages. The article
+    page keeps heading + paragraphs (incl. the window-rescued short one)
+    and drops nav/footer/link-dense blocks; the CJK page passes char-based
+    thresholds without whitespace tokens; the link farm produces NO row
+    (every block is link-saturated). Pinned VALUES oracle (sha256 of the
+    extracted main text, the format_extracts pattern)."""
+    from .operators.boilerplate import extract_main_content
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    pages = spark.createDataFrame(_BOILER_PAGES, "url string, html string")
+    out = extract_main_content(pages)
+    return out.select(
+        "url", "n_blocks", "n_chars", F.sha2("main_text", 256).alias("text_sha")
+    )
+
+
+ORACLE_EXT2["main_content"] = """
+SELECT * FROM (VALUES
+  ('https://fx/article', 4, 259::BIGINT,
+   'ec3367b8351077b14c93e1fa418c0c48403afdbbf918998bed494036818be765'),
+  ('https://fx/cjk', 1, 36::BIGINT,
+   'df61b86dbe2c1e0eae98f018748690783e4f1228c1743d7d48d6ae5cb52c0c09')
+) AS fx(url, n_blocks, n_chars, text_sha)
+"""
+
+
 def _image_fixture(spark: SparkSession):
     """Deterministic gradient image, encoded as PNG and as BMP (same
     pixels), plus a junk row that must quarantine — exercises the REAL

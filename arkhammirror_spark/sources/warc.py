@@ -207,6 +207,20 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return warc_to_pages(segments)
 
 
+def warc_main_content(spark: SparkSession, path_glob: str):
+    """The north-star lane end to end: WARC segments → pages → flattened-DOM
+    density-scored main text (operators.boilerplate). Returns
+    (url, main_text, n_blocks, n_chars); malformed records and non-HTML
+    payloads simply contribute no nodes."""
+    from ..operators.boilerplate import extract_main_content
+
+    pages = read_warc(spark, path_glob)
+    ok = pages.where(
+        pages["error"].isNull() & pages["html"].isNotNull()
+    )
+    return extract_main_content(ok)
+
+
 def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     """Deterministic WARC bytes for fixtures: records are dicts with url,
     date (ISO string), payload (bytes), warc_type ('response' default),

@@ -45,6 +45,7 @@ _ARROW_BOUNDS = {
     "audio_features": (1, 1),
     "video_frame_samples": (1, 1),
     "image_features": (1, 1),     # the gated decode mapInPandas pass
+    "main_content": (1, 1),       # DOM flatten pass; scoring is native
 }
 
 
