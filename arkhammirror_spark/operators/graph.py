@@ -333,6 +333,87 @@ def betweenness_distributed(
     )
 
 
+def label_propagation_communities(
+    edges: DataFrame, max_iterations: int = 20, weight_col: str | None = None
+) -> DataFrame:
+    """Distributed community detection for graphs beyond the reference's
+    500-node cap — the scale sibling of `graph_algorithms.
+    louvain_communities`. Louvain's local-moving is inherently sequential
+    (node-by-node moves over an in-memory graph), so the distributed lane
+    uses synchronous WEIGHTED LABEL PROPAGATION: each round every node
+    adopts the label with the greatest incident edge-weight sum among its
+    neighbours' labels ∪ its own label (self counted with weight 1 — the
+    standard damping that stops two-node oscillation), ties broken to the
+    smaller label, so the result is deterministic under any partitioning.
+    One join + agg per round, per-round localCheckpoint (lineage rule).
+
+    Semantics note: LPA optimizes local label agreement, not modularity —
+    parity with the reference Louvain is NOT claimed (and is impossible to
+    pin: Louvain's result depends on its sequential visit order). Converges
+    on no-change; the cap is the standard LPA remedy for rare oscillation
+    and capping out returns the current labels (heuristic contract, unlike
+    connected_components_distributed whose labels must be exact).
+    Returns (name, community).
+    """
+    from pyspark.sql import Window
+
+    w_expr = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    sym = (
+        edges.select(
+            F.col("entity_a").alias("src"), F.col("entity_b").alias("dst"),
+            w_expr.alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"),
+                w_expr.alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("name")).distinct().withColumn(
+        "community", F.col("name")
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("community"))
+    for _ in range(max_iterations):
+        neighbor = (
+            sym.join(labels, sym.dst == labels.name)
+            .select("src", "community", "w")
+        )
+        self_rows = labels.select(
+            F.col("name").alias("src"), "community", F.lit(1.0).alias("w")
+        )
+        scores = (
+            neighbor.unionByName(self_rows)
+            .groupBy("src", "community")
+            .agg(F.sum("w").alias("s"))
+        )
+        updated = (
+            scores.withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1)
+            .select(F.col("src").alias("name"), "community")
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "name")
+            .where(F.col("u.community") != F.col("l.community"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def connected_components_distributed(
     edges: DataFrame, max_iterations: int = 50, require_convergence: bool = True
 ) -> DataFrame:

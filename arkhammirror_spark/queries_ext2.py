@@ -1575,6 +1575,102 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules over a quality-modulated derived corpus: doc_id%4
+# picks a variant (raw / long+stopworded / symbol-spammed / bullet-spammed)
+# so every rule branch is exercised and value-checked
+# ---------------------------------------------------------------------------
+
+
+@register("gopher_quality", None)  # oracle below
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import gopher_quality
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = F.col("doc_id") % 4
+    derived = d.select(
+        "doc_id",
+        F.when(
+            variant == 1,
+            F.concat(
+                F.col("text"), F.lit(" "), F.col("text"),
+                F.lit(" the be to of and that have with"),
+            ),
+        )
+        .when(variant == 2, F.concat(F.col("text"), F.lit(" ### ### ### ### ###")))
+        .when(variant == 3, F.concat(F.col("text"), F.repeat(F.lit("\n• item"), 10)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    q = gopher_quality(derived)
+    return q.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stop_hits", "passes",
+    )
+
+
+_GQ_WORDS = (
+    "list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)"
+)
+ORACLE_EXT2["gopher_quality"] = f"""
+WITH derived AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN text || ' ' || text || ' the be to of and that have with'
+           WHEN 2 THEN text || ' ### ### ### ### ###'
+           WHEN 3 THEN text || repeat(chr(10) || '• item', 10)
+           ELSE text
+         END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         {_GQ_WORDS} AS words,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_ellipsis
+  FROM derived
+),
+agg AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+                     (a, x) -> a + x)::DOUBLE
+           / greatest(len(words), 1) AS mean_word_len,
+         (n_hash + n_ellipsis)::DOUBLE / greatest(len(words), 1) AS symbol_word_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^[\\s]*[•‣▪\\-*]')))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_line_frac,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+           / greatest(len(words), 1) AS alpha_word_frac,
+         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+             ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_hits
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       n_stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stop_hits >= 2) AS passes
+FROM agg
+"""
+
+
 _BOILER_PAGES = [
     (
         "https://fx/article",

@@ -151,6 +151,48 @@ class TestGraph:
         for node, score in driver.items():
             assert abs(dist.get(node, 0.0) - score) < 1e-9, node
 
+    def test_label_propagation_separates_cliques(self, spark):
+        """Two 4-cliques joined by one bridge edge must resolve into two
+        communities matching the cliques, deterministically."""
+        from arkhammirror_spark.operators.graph import (
+            label_propagation_communities,
+        )
+
+        def clique(prefix):
+            names = [f"{prefix}{i}" for i in range(4)]
+            return [(a, b, 1) for i, a in enumerate(names)
+                    for b in names[i + 1:]]
+
+        rows = clique("a") + clique("b") + [("a0", "b0", 1)]
+        edges = spark.createDataFrame(
+            rows, "entity_a: string, entity_b: string, co_occurrence_count: long"
+        )
+        got = {r["name"]: r["community"]
+               for r in label_propagation_communities(edges).collect()}
+        a_comms = {got[f"a{i}"] for i in range(4)}
+        b_comms = {got[f"b{i}"] for i in range(4)}
+        assert len(a_comms) == 1 and len(b_comms) == 1
+        assert a_comms != b_comms
+        # deterministic across reruns
+        again = {r["name"]: r["community"]
+                 for r in label_propagation_communities(edges).collect()}
+        assert again == got
+
+    def test_label_propagation_pair_converges(self, spark):
+        """The classic sync-LPA oscillation case (one edge): the self-label
+        damping + smaller-label tie-break must converge, not swap forever."""
+        from arkhammirror_spark.operators.graph import (
+            label_propagation_communities,
+        )
+
+        edges = spark.createDataFrame(
+            [("x", "y", 1)],
+            "entity_a: string, entity_b: string, co_occurrence_count: long",
+        )
+        got = {r["name"]: r["community"]
+               for r in label_propagation_communities(edges).collect()}
+        assert got["x"] == got["y"] == "x"
+
     def test_betweenness_distributed_sampled_estimator(self, spark):
         from arkhammirror_spark.operators.graph import betweenness_distributed
 
@@ -584,6 +626,32 @@ class TestVlmOcr:
         )
         with _pt.raises(Exception, match="VLM endpoint"):
             vlm_ocr_images(pages, mode="strict").collect()
+
+
+class TestGopherQuality:
+    def test_each_rule_branch(self, spark):
+        from arkhammirror_spark.operators.quality import gopher_quality
+
+        good = ("the quick brown fox jumps over that lazy dog and then have "
+                "some words with more content to clear fifty words easily ") * 3
+        docs = spark.createDataFrame(
+            [
+                (1, good),
+                (2, "too short to pass the word count rule here"),
+                (3, good + " ##### ##### ##### ##### ##### ##### #####"),
+                (4, good + ("\n• bullet" * 40)),
+                (5, good.replace("the", "000").replace("that", "111")
+                     .replace("and", "222").replace("have", "333")
+                     .replace("with", "444")),  # kills stopwords
+            ],
+            "doc_id: long, text: string",
+        )
+        got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+        assert got[1]["passes"] is True
+        assert got[2]["passes"] is False and got[2]["n_words"] < 50
+        assert got[3]["passes"] is False and got[3]["symbol_word_ratio"] > 0.1
+        assert got[4]["passes"] is False and got[4]["bullet_line_frac"] > 0.9
+        assert got[5]["passes"] is False and got[5]["n_stop_hits"] < 2
 
 
 class TestAudioFeatures:
