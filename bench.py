@@ -69,12 +69,20 @@ def main() -> None:
     timings["extraction_pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = round(n_docs / pipeline_sec, 1)
 
+    import gc
+
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # drop the query's python references NOW so the ContextCleaner can
+        # free its localCheckpoint blocks — without this the sweep
+        # accumulates checkpoint RDDs + GC pressure that inflate LATER
+        # queries 2-6x over their fresh-session wall (measured round 3)
+        del df
+        gc.collect()
 
     total = round(time.perf_counter() - t_all, 3)
     print(
