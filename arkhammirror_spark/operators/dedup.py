@@ -244,6 +244,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the RefinedWeb/MassiveText rule:
+    a line duplicated across documents is boilerplate — cookie banners,
+    navigation, share buttons — and is removed everywhere except its first
+    occurrence).
+
+    Mechanics: one explode to (id, line_idx, line), global first-occurrence
+    selection via row_number over xxhash64(line) ordered by (id, line_idx)
+    — a single hash-partitioned window, no self-join — then document
+    reassembly in line order. Lines shorter than `min_chars` are exempt
+    (blank separators and short structural lines dedup meaninglessly).
+    keep_first=False drops EVERY occurrence of a cross-document duplicate
+    line instead (the more aggressive C4-style variant).
+
+    Scale: shuffle keys are (line-hash) then (doc id) — both well-spread;
+    the heaviest skew possible is one line duplicated across the whole
+    corpus, which this exists to remove, and a window over its hash
+    partition is a sort of that one group. Returns (id, text) with the
+    deduped text.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_idx", "line"),
+    )
+    exempt = F.length(F.trim(F.col("line"))) < min_chars
+    w = Window.partitionBy(F.xxhash64("line")).orderBy(id_col, "line_idx")
+    ranked = lines.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("line")))
+    )
+    if keep_first:
+        keep = exempt | (F.col("_rn") == 1)
+    else:
+        keep = exempt | (F.col("_cnt") == 1)
+    kept = ranked.where(keep)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("line_idx", "line"))
+            ).alias("_ls")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("_ls"), lambda s: s["line"])
+            ).alias(text_col),
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

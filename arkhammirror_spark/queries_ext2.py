@@ -1576,6 +1576,132 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level line dedup over a derived multi-line corpus: per-block shared
+# header + per-doc unique soup line + corpus-wide shared footer — exercises
+# first-kept / later-dropped / exempt-short behavior
+# ---------------------------------------------------------------------------
+
+
+@register("line_dedup", None)  # oracle below
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_lines
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.format_string(
+                "block header line for %d", (F.col("doc_id") - F.col("doc_id") % 10).cast("int")
+            ),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nshared corpus-wide footer line\nok"),
+        ).alias("text"),
+    )
+    return dedup_lines(d, min_chars=10)
+
+
+ORACLE_EXT2["line_dedup"] = """
+WITH derived AS (
+  SELECT doc_id,
+         printf('block header line for %d', (doc_id - doc_id % 10)::INT)
+           || chr(10) || text
+           || chr(10) || 'shared corpus-wide footer line' || chr(10) || 'ok' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.i - 1 AS line_idx, u.line
+  FROM derived,
+       LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS i) u
+),
+ranked AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, line_idx, line FROM ranked
+  WHERE length(trim(line)) < 10 OR rn = 1
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY line_idx) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup over derived variant urls (5 variants per
+# canonical page: raw / case+fragment / default port+utm / trailing slash /
+# double-utm)
+# ---------------------------------------------------------------------------
+
+
+@register("canonical_urls", None)  # oracle below
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.urls import dedup_canonical_urls
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 5).cast("long")
+    v = F.col("doc_id") % 5
+    base = F.format_string("site%d.example/path/p%d", g, g)
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), base))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(F.regexp_extract(base, r"^([^/]*)", 1)), F.regexp_replace(base, r"^[^/]*", ""), F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("http://"), F.regexp_replace(base, r"^([^/]*)", r"$1:80"), F.lit("?utm_source=x")))
+        .when(v == 3, F.concat(F.lit("http://"), base, F.lit("/")))
+        .otherwise(F.concat(F.lit("http://"), base, F.lit("?utm_a=1&utm_b=2")))
+    )
+    return dedup_canonical_urls(d.select(url.alias("url")))
+
+
+def _canon_sql(u: str) -> str:
+    """DuckDB mirror of operators.urls.canonical_url — same lookaround-free
+    patterns, RE2 replacement syntax, 'g' flag (Spark replaces all)."""
+    steps = f"""
+lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+  || regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '', 'g')
+"""
+    expr = f"({steps.strip()})"
+    for pat, rep in [
+        (r"#.*$", ""),
+        (r"^(http://[^/:?#]*):80([/?#].*)?$", r"\1\2"),
+        (r"^(https://[^/:?#]*):443([/?#].*)?$", r"\1\2"),
+        (r"&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*", ""),
+        (r"\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*&", "?"),
+        (r"\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*$", ""),
+        (r"^(.*://[^/?#]+/[^?#]*[^/?#])/$", r"\1"),
+        (r"^(.*://[^/?#]+/[^?#]*[^/?#])/\?", r"\1?"),
+    ]:
+        # DuckDB '...' literals keep backslashes verbatim (no escape layer):
+        # pass the regex/replacement through untouched, only double quotes
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep}', 'g')"
+    return expr
+
+
+ORACLE_EXT2["canonical_urls"] = f"""
+WITH derived AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'http://' || printf('site%d.example/path/p%d', (doc_id // 5), (doc_id // 5))
+    WHEN 1 THEN 'HTTP://' || upper(printf('site%d.example', (doc_id // 5)))
+                || printf('/path/p%d', (doc_id // 5)) || '#frag'
+    WHEN 2 THEN 'http://' || printf('site%d.example:80/path/p%d', (doc_id // 5), (doc_id // 5))
+                || '?utm_source=x'
+    WHEN 3 THEN 'http://' || printf('site%d.example/path/p%d/', (doc_id // 5), (doc_id // 5))
+    ELSE 'http://' || printf('site%d.example/path/p%d', (doc_id // 5), (doc_id // 5))
+                || '?utm_a=1&utm_b=2'
+  END AS url
+  FROM documents
+),
+canon AS (SELECT url, trim(url) AS u0 FROM derived),
+c AS (SELECT url, {_canon_sql('u0')} AS canonical_url FROM canon)
+SELECT canonical_url, min(url) AS keeper_url, count(*)::BIGINT AS n_variants,
+       list_sort(list_distinct(list(url))) AS variant_urls
+FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality rules over a quality-modulated derived corpus: doc_id%4
 # picks a variant (raw / long+stopworded / symbol-spammed / bullet-spammed)
 # so every rule branch is exercised and value-checked

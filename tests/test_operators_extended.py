@@ -628,6 +628,92 @@ class TestVlmOcr:
             vlm_ocr_images(pages, mode="strict").collect()
 
 
+class TestLineDedup:
+    def test_cross_doc_boilerplate_removed_keep_first(self, spark):
+        from arkhammirror_spark.operators.dedup import dedup_lines
+
+        footer = "subscribe to our newsletter today"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique first document body line\n{footer}\nok"),
+                (2, f"different second document body line\n{footer}"),
+                (3, f"third body line entirely its own\n{footer}"),
+            ],
+            "doc_id: long, text: string",
+        )
+        got = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+        assert footer in got[1]          # first occurrence kept
+        assert footer not in got[2]
+        assert footer not in got[3]
+        assert "ok" in got[1]            # short line exempt (min_chars)
+        assert "different second" in got[2]
+
+    def test_drop_all_variant(self, spark):
+        from arkhammirror_spark.operators.dedup import dedup_lines
+
+        footer = "subscribe to our newsletter today"
+        docs = spark.createDataFrame(
+            [(1, f"first unique line of text\n{footer}"),
+             (2, f"second unique line of text\n{footer}")],
+            "doc_id: long, text: string",
+        )
+        got = {r["doc_id"]: r["text"]
+               for r in dedup_lines(docs, keep_first=False).collect()}
+        assert footer not in got[1] and footer not in got[2]
+
+    def test_within_doc_duplicate_also_deduped(self, spark):
+        from arkhammirror_spark.operators.dedup import dedup_lines
+
+        line = "a repeated paragraph of content"
+        docs = spark.createDataFrame(
+            [(1, f"{line}\nmiddle separator line here\n{line}")],
+            "doc_id: long, text: string",
+        )
+        got = dedup_lines(docs).collect()[0]["text"]
+        assert got.count(line) == 1
+
+
+class TestCanonicalUrls:
+    CASES = [
+        ("HTTP://Example.COM/Path/Q", "http://example.com/Path/Q"),
+        ("https://h.io/a#frag", "https://h.io/a"),
+        ("http://h.io:80/a", "http://h.io/a"),
+        ("https://h.io:443/a?x=1", "https://h.io/a?x=1"),
+        ("http://h.io:8080/a", "http://h.io:8080/a"),  # non-default kept
+        ("https://h.io/p?utm_source=tw&x=1", "https://h.io/p?x=1"),
+        ("https://h.io/p?x=1&utm_campaign=c&fbclid=f", "https://h.io/p?x=1"),
+        ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
+        ("https://h.io/a/b/", "https://h.io/a/b"),
+        ("https://h.io/", "https://h.io/"),  # root slash kept
+        ("https://h.io/a/?x=1", "https://h.io/a?x=1"),
+        ("  https://h.io/a  ", "https://h.io/a"),
+    ]
+
+    def test_canonical_forms(self, spark):
+        from arkhammirror_spark.operators.urls import with_canonical_url
+
+        df = spark.createDataFrame(
+            [(u,) for u, _ in self.CASES], "url: string"
+        )
+        got = {r["url"]: r["canonical_url"]
+               for r in with_canonical_url(df).collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, (raw, got[raw], want)
+
+    def test_dedup_groups_variants(self, spark):
+        from arkhammirror_spark.operators.urls import dedup_canonical_urls
+
+        df = spark.createDataFrame(
+            [("HTTP://A.io/p",), ("http://a.io/p#x",), ("http://a.io:80/p",),
+             ("http://b.io/q",)],
+            "url: string",
+        )
+        got = {r["canonical_url"]: r for r in dedup_canonical_urls(df).collect()}
+        assert got["http://a.io/p"]["n_variants"] == 3
+        assert got["http://a.io/p"]["keeper_url"] == "HTTP://A.io/p"
+        assert got["http://b.io/q"]["n_variants"] == 1
+
+
 class TestGopherQuality:
     def test_each_rule_branch(self, spark):
         from arkhammirror_spark.operators.quality import gopher_quality
