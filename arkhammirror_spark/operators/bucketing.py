@@ -29,7 +29,15 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) managed parquet table.
 
     Sorting within buckets upgrades SortMergeJoin to skip its sort step and
-    makes per-bucket predicate scans sequential."""
+    makes per-bucket predicate scans sequential.
+
+    Filter-only consumers (e.g. an IVF probe's `list_id IN (...)` over
+    materialized inverted lists) get FILE-level bucket pruning
+    (SelectedBucketsCount in the scan) — but only with
+    `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`, since the
+    planner otherwise disables bucketed scans when nothing consumes the
+    bucketing's output partitioning; the pushed IN-filter still prunes at
+    row-group granularity either way."""
     writer = (
         df.write.format("parquet")
         .mode("overwrite")

@@ -1797,6 +1797,100 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# The composed webtext preparation chain over deterministic fixture pages:
+# url-variant pair, exact-dup pair, near-dup pair, shared footer line,
+# link farm, low-quality page — every stage must fire
+# ---------------------------------------------------------------------------
+
+_WT_FOOTER = "subscribe to our newsletter for the latest updates today"
+_WT_ALPHA = (
+    "the alpha system describes how distributed replication keeps logs "
+    "consistent and safe across failures. leaders coordinate followers with "
+    "quorum votes so that commits have durable majorities behind them. "
+    "snapshots compact the log when it grows beyond a bound. reads can be "
+    "served from followers that hold fresh leases. the protocol tolerates "
+    "partitions and recovers quickly after the network heals again."
+)
+_WT_BETA = (
+    "the beta pipeline ingests raw measurements from field sensors and "
+    "normalizes units before storage. calibration tables map device codes "
+    "onto physical ranges so that engineers have trustworthy numbers. "
+    "anomalies trigger alerts with full context attached. operators review "
+    "weekly summaries that highlight drift and degradation. maintenance "
+    "windows are scheduled when the evidence supports intervention."
+)
+_WT_GAMMA = (
+    "the gamma archive preserves scanned manuscripts with careful metadata "
+    "about provenance and condition. curators describe each item so that "
+    "researchers have reliable context for interpretation. imaging captures "
+    "fine detail under controlled lighting. storage vaults regulate humidity "
+    "and temperature around the collections. access policies balance "
+    "preservation against the needs of active scholarship today."
+)
+
+
+def _wt_page(body_paras: list[str]) -> str:
+    paras = "".join(f"<p>{p}</p>" for p in body_paras)
+    return (
+        "<html><body>"
+        '<div id="nav"><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About page</a></li></ul></div>'
+        f"<article>{paras}</article>"
+        f"<p>{_WT_FOOTER}</p>"
+        "</body></html>"
+    )
+
+
+_WEBTEXT_PAGES = [
+    ("https://w/a", _wt_page([_WT_ALPHA])),
+    ("https://w/a2", _wt_page([_WT_ALPHA])),  # exact dup of /a
+    ("https://w/a3", _wt_page([_WT_ALPHA + " a closing remark restates the "
+                               "main replication claims concisely."])),  # near-dup
+    ("https://w/b", _wt_page([_WT_BETA])),    # shares only the footer line
+    ("https://w/c", _wt_page([_WT_GAMMA])),
+    ("https://w/c?utm_source=x", _wt_page([_WT_GAMMA])),  # url variant of /c
+    ("https://w/d", "<html><body>"
+     + "".join(f'<p><a href="/l{i}">link target number {i}</a></p>'
+               for i in range(6)) + "</body></html>"),    # link farm
+    ("https://w/e", "<html><body><p>far too short to pass the quality "
+     "gate</p></body></html>"),
+]
+
+
+@register("webtext_prep", None)  # oracle (VALUES) attached below
+def q_webtext_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed chain (operators.webtext): url dedup → main
+    content → Gopher gate → exact dedup → MinHash-LSH near-dup → line
+    dedup. Expected survivors: /a (full, keeps the shared footer), /b
+    (footer line deduped away), /c (variant url collapsed). /a2 exact-dup,
+    /a3 near-dup, /d link farm, /e low quality all drop. Pinned VALUES
+    oracle (deterministic fixtures; each stage separately oracle-gated by
+    its own entry)."""
+    from .operators.webtext import prepare_webtext_corpus
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    pages = spark.createDataFrame(_WEBTEXT_PAGES, "url string, html string")
+    out = prepare_webtext_corpus(pages, min_words=40)
+    return out.select(
+        "url", F.length("text").cast("long").alias("n_chars"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+ORACLE_EXT2["webtext_prep"] = """
+SELECT * FROM (VALUES
+  ('https://w/a', 461::BIGINT,
+   '70e65e4017763669391084cc2d503ac8af88c3a6de4f3b1abebf11309353a174'),
+  ('https://w/b', 400::BIGINT,
+   '7ef16ca4216f926f532881a131bade28ba7c59c2d38ee834390a8e37199fa231'),
+  ('https://w/c', 405::BIGINT,
+   '259cc2ad9bdf702b7548d27a75fe03dc6690ebe6b618227a96fb02d10741b9d5')
+) AS fx(url, n_chars, text_sha)
+"""
+
+
 _BOILER_PAGES = [
     (
         "https://fx/article",

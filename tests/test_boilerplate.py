@@ -117,6 +117,25 @@ class TestSelection:
         assert "first real paragraph" in out[0]["main_text"]
         assert "Terms of service" not in out[0]["main_text"]
 
+    def test_composed_webtext_chain_each_stage_fires(self, spark):
+        """prepare_webtext_corpus over the fixture pages: url-variant
+        collapse, exact dup, near dup, quality gate, link farm, and shared
+        footer line each handled by their stage."""
+        import arkhammirror_spark.queries  # noqa: F401  (import-order guard)
+        from arkhammirror_spark.operators.webtext import prepare_webtext_corpus
+        from arkhammirror_spark.queries_ext2 import _WEBTEXT_PAGES, _WT_FOOTER
+
+        pages = spark.createDataFrame(_WEBTEXT_PAGES, "url string, html string")
+        out = {r["url"]: r["text"]
+               for r in prepare_webtext_corpus(pages, min_words=40).collect()}
+        assert set(out) == {"https://w/a", "https://w/b", "https://w/c"}
+        assert _WT_FOOTER in out["https://w/a"]      # first occurrence kept
+        assert _WT_FOOTER not in out["https://w/b"]  # line-deduped
+        assert "alpha system" in out["https://w/a"]
+        assert "beta pipeline" in out["https://w/b"]
+        assert "gamma archive" in out["https://w/c"]
+        assert "Home" not in out["https://w/a"]      # nav stripped
+
     def test_scoring_is_native(self, spark):
         """Stages 2-4 must be pure column math: exactly ONE Arrow node
         (the flatten pass) in the full plan."""

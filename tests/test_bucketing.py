@@ -31,6 +31,59 @@ def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
     assert "Exchange" not in plan, plan  # zero shuffle on either side
 
 
+def test_ivf_lists_materialize_bucketed_and_prune(spark, tmp_path):
+    """The IVF scale story end to end: fit once, materialize the inverted
+    lists BUCKETED BY list_id, and verify a probe's list_id IN (...) filter
+    prunes buckets at the SCAN (SelectedBucketsCount < total) — repeated
+    ANN queries then touch ~n_probe/n_lists of the storage, no re-fit,
+    no full scan. This is the parquet analogue of pgvector's ivfflat
+    index scan (vectors.py:469-548)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arkhammirror_spark.operators.bucketing import write_bucketed
+    from arkhammirror_spark.operators.similarity import fit_ivf, ivf_probe
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    centers, assigned = fit_ivf(emb, n_clusters=8)
+
+    spark.sql("DROP TABLE IF EXISTS ivf_lists_test")
+    # a crashed earlier run can leave the warehouse dir without a catalog
+    # entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+    import shutil
+
+    shutil.rmtree("spark-warehouse/ivf_lists_test", ignore_errors=True)
+    write_bucketed(assigned, "ivf_lists_test", ["list_id"], 8,
+                   sort_cols=["list_id"])
+    lists = spark.table("ivf_lists_test")
+
+    qv = rows[3][1]
+    # the planner auto-disables bucketed scans when no operator consumes
+    # the bucketing's output partitioning; a probe-only scan must force it
+    # to get FILE-level bucket pruning (row-group pruning via the pushed
+    # IN-filter happens regardless)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        out = ivf_probe(lists, centers, qv, k=5, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+    import re as _re
+
+    m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))
+    # probe over the materialized table ≡ probe over the in-memory frame
+    direct = ivf_probe(assigned, centers, qv, k=5, n_probe=2)
+    assert [r["vec_id"] for r in out.collect()] == [
+        r["vec_id"] for r in direct.collect()
+    ]
+    spark.sql("DROP TABLE IF EXISTS ivf_lists_test")
+
+
 def test_bucketed_join_matches_shuffled_join(spark, bucketed_tables):
     docs, mentions = bucketed_tables
     got = sorted(

@@ -46,6 +46,9 @@ _ARROW_BOUNDS = {
     "video_frame_samples": (1, 1),
     "image_features": (1, 1),     # the gated decode mapInPandas pass
     "main_content": (1, 1),       # DOM flatten pass; scoring is native
+    # the flatten pass and the shingle pass are both checkpoint-truncated:
+    # no Python node may survive into the final plan
+    "webtext_prep": (0, 0),
 }
 
 
