@@ -179,6 +179,48 @@ def flatten_dom(html: str) -> list[dict]:
     return p.rows
 
 
+def select_blocks_py(
+    rows: list[dict],
+    min_chars: int = 25,
+    max_link_density: float = 0.33,
+    rescue_min_chars: int = 8,
+) -> list[dict]:
+    """Pure-python twin of score_nodes + select_content over ONE page's
+    node rows — selection only ever looks at a page's own neighbours, so
+    per-page python ≡ the url-partitioned window variant (pinned by a
+    differential test). Powers the stateless STREAMING lane (window
+    functions need a shuffle the per-page batch already implies) and the
+    oracle pins."""
+    base = [
+        (r["text_len"] >= min_chars)
+        and (r["link_text_len"] / max(1, r["text_len"]) <= max_link_density)
+        for r in rows
+    ]
+    kept = []
+    for i, r in enumerate(rows):
+        ld_ok = r["link_text_len"] / max(1, r["text_len"]) <= max_link_density
+        prev_b = base[i - 1] if i > 0 else False
+        next_b = base[i + 1] if i + 1 < len(rows) else False
+        rescue = (
+            not base[i] and prev_b and next_b
+            and r["text_len"] >= rescue_min_chars and ld_ok
+        )
+        heading = r["tag"] in HEADING_TAGS and next_b and ld_ok
+        if base[i] or rescue or heading:
+            kept.append(r)
+    return kept
+
+
+def main_content_py(
+    html: str, min_chars: int = 25, max_link_density: float = 0.33
+) -> tuple[str, int]:
+    """(main_text, n_blocks) for one page — flatten + python selection."""
+    kept = select_blocks_py(
+        flatten_dom(html), min_chars=min_chars, max_link_density=max_link_density
+    )
+    return "\n\n".join(r["text"] for r in kept), len(kept)
+
+
 def flatten_pages(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

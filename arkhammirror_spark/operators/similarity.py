@@ -137,13 +137,23 @@ def lsh_bucket_topk(
     )
 
 
+def recommended_rows_per_band(n_vectors: int) -> int:
+    """R ≈ log₂(n): a random pair collides in one band w.p. ~(1/2)^R, so
+    expected random candidates per band ≈ n²/2^R ≈ n when R = log₂(n) —
+    constant per-bucket occupancy as the corpus grows. Floor 4 keeps tiny
+    corpora from degenerating to near-brute-force."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, n_vectors))))
+
+
 def pairwise_cosine_above_banded(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 8,
-    rows_per_band: int = 8,
+    rows_per_band: int | None = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs via BANDED hyperplane LSH (OR-construction):
     B bands of R sign-bits each; a pair is a candidate if ANY band matches,
@@ -156,7 +166,10 @@ def pairwise_cosine_above_banded(
     R sizes the candidate budget: a RANDOM pair collides in a band with
     probability ~(1/2)^R, so R=8 prunes to ~3% of all pairs where R=4
     admits ~39% (measured: near-brute-force cost). Grow R with corpus size
-    (R ≈ log2(n) keeps per-bucket occupancy ~constant)."""
+    — rows_per_band=None derives R = recommended_rows_per_band(count)
+    (one count job; at a fixed deployment scale pass the constant)."""
+    if rows_per_band is None:
+        rows_per_band = recommended_rows_per_band(emb.count())
     v = F.col(vec_col).cast("array<double>")
     # one R-bit key per band, each from its own plane block (no packed
     # 64-bit intermediate — B×R can exceed the int64 sign bit)

@@ -82,6 +82,85 @@ def streaming_host_counts(
     )
 
 
+def stream_main_content(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_chars: int = 25,
+    max_link_density: float = 0.33,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming boilerplate lane: .warc.gz segments → pages → per-page
+    main-content extraction → parquet, exactly-once per segment.
+
+    Uses the PER-PAGE python selection (boilerplate.main_content_py) inside
+    one mapInPandas: the batch lane's window functions would force a
+    streaming shuffle, and selection only ever reads a page's own
+    neighbours, so the per-page form is semantically identical — pinned by
+    the batch≡python differential test in tests/test_boilerplate.py."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.boilerplate import main_content_py
+    from ..shipping import ensure_shipped
+    from ..sources.warc import warc_to_pages
+
+    ensure_shipped(spark)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    segments = reader.load(warc_dir)
+    pages = warc_to_pages(segments).where(
+        F.col("error").isNull() & F.col("html").isNotNull()
+    )
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField("main_text", StringType(), True),
+            StructField("n_blocks", LongType(), True),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                if html is None:
+                    continue
+                text, n = main_content_py(
+                    bytes(html).decode("utf-8", "replace"),
+                    min_chars=min_chars,
+                    max_link_density=max_link_density,
+                )
+                if n > 0:
+                    rows.append({"url": url, "main_text": text, "n_blocks": n})
+            yield pd.DataFrame(rows, columns=["url", "main_text", "n_blocks"])
+
+    content = pages.select("url", "html").mapInPandas(_run, schema)
+    return (
+        content.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def stream_warc_extract(
     spark: SparkSession,
     warc_dir: str,

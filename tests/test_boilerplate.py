@@ -136,6 +136,56 @@ class TestSelection:
         assert "gamma archive" in out["https://w/c"]
         assert "Home" not in out["https://w/a"]      # nav stripped
 
+    def test_python_selection_equals_window_selection(self, spark):
+        """main_content_py (the streaming/pin path) must match the
+        url-partitioned window variant exactly on every fixture page —
+        including the webtext fixtures with their rescue/heading cases."""
+        import arkhammirror_spark.queries  # noqa: F401
+        from arkhammirror_spark.operators.boilerplate import main_content_py
+        from arkhammirror_spark.queries_ext2 import _BOILER_PAGES, _WEBTEXT_PAGES
+
+        fixtures = list(_BOILER_PAGES) + list(_WEBTEXT_PAGES) + [
+            ("https://e/art", ARTICLE_PAGE)
+        ]
+        pages = spark.createDataFrame(fixtures, "url string, html string")
+        batch = {r["url"]: (r["main_text"], r["n_blocks"])
+                 for r in extract_main_content(pages).collect()}
+        for url, html in fixtures:
+            text, n = main_content_py(html)
+            if n == 0:
+                assert url not in batch, url
+            else:
+                assert batch[url] == (text, n), url
+
+    def test_streaming_main_content_exactly_once(self, spark, tmp_path):
+        from arkhammirror_spark.sources.warc import build_warc
+        from arkhammirror_spark.streaming.pipeline import stream_main_content
+
+        warc_dir = tmp_path / "landing"
+        warc_dir.mkdir()
+        (warc_dir / "seg-0.warc.gz").write_bytes(build_warc(
+            [{"url": "https://w/a", "date": "2026-01-02T03:04:05Z",
+              "payload": ARTICLE_PAGE.encode()}]
+        ))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = stream_main_content(spark, str(warc_dir), out, ckpt).trigger(
+            availableNow=True).start()
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1 and "first real paragraph" in rows[0]["main_text"]
+
+        # second segment: only the delta processes (checkpoint exactly-once)
+        (warc_dir / "seg-1.warc.gz").write_bytes(build_warc(
+            [{"url": "https://w/b", "date": "2026-01-03T03:04:05Z",
+              "payload": ARTICLE_PAGE.replace("Article Title",
+                                              "Second Title").encode()}]
+        ))
+        q = stream_main_content(spark, str(warc_dir), out, ckpt).trigger(
+            availableNow=True).start()
+        q.awaitTermination()
+        urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+        assert urls == ["https://w/a", "https://w/b"]
+
     def test_scoring_is_native(self, spark):
         """Stages 2-4 must be pure column math: exactly ONE Arrow node
         (the flatten pass) in the full plan."""

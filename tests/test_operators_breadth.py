@@ -225,6 +225,22 @@ class TestSimilarity:
         pairs = pairwise_cosine_above(emb, 0.999, n_planes=6).collect()
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 900)}
 
+    def test_banded_lsh_auto_r_scales_with_corpus(self, spark, emb):
+        from arkhammirror_spark.operators.similarity import (
+            pairwise_cosine_above_banded,
+            recommended_rows_per_band,
+        )
+
+        assert recommended_rows_per_band(200) == 8
+        assert recommended_rows_per_band(1_000_000) == 20
+        assert recommended_rows_per_band(2) == 4  # floor
+        # rows_per_band=None derives R from the corpus count; output is
+        # still the exact verified pair set
+        pairs = pairwise_cosine_above_banded(
+            emb, 0.999, rows_per_band=None
+        ).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 900)}
+
 
 class TestRerankers:
     def test_recency_blend(self, spark):
