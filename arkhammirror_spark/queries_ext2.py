@@ -1798,6 +1798,83 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Distributed betweenness + LPA communities over a deterministic fixture
+# graph (two cliques + a bridge path + seeded extra edges): fixture-based
+# like format_extracts so the pinned oracles hold at every SF
+# ---------------------------------------------------------------------------
+
+
+def _fixture_graph(spark: SparkSession) -> DataFrame:
+    import random
+
+    rng = random.Random(17)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    pairs = set()
+    for base in (0, 12):  # two 5-cliques
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.add((nodes[base + i], nodes[base + j]))
+    for i in range(5, 12):  # bridge path n04..n05..n11..n12
+        pairs.add((nodes[i - 1], nodes[i]))
+    pairs.add((nodes[11], nodes[12]))
+    while len(pairs) < 40:  # seeded extra edges
+        a, b = rng.sample(nodes, 2)
+        if a > b:
+            a, b = b, a
+        pairs.add((a, b))
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in sorted(pairs)],
+        "entity_a: string, entity_b: string, co_occurrence_count: long",
+    )
+
+
+@register("graph_betweenness", None)  # oracle (VALUES) attached below
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-parallel distributed betweenness (operators.graph) on the
+    fixture graph, top 10 — scores are exact transit counts / norm
+    (deterministic under any partitioning; ties rank by node)."""
+    from .operators.graph import betweenness_distributed
+
+    out = betweenness_distributed(_fixture_graph(spark), limit=10)
+    return out.select("node", F.round("score", 6).alias("score"), "rank")
+
+
+@register("graph_communities", None)  # oracle (VALUES) attached below
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the fixture graph, reported as
+    (community, size) — deterministic by the self-damped min-label LPA."""
+    from .operators.graph import label_propagation_communities
+
+    out = label_propagation_communities(_fixture_graph(spark))
+    return out.groupBy("community").agg(F.count(F.lit(1)).alias("size"))
+
+
+ORACLE_EXT2["graph_betweenness"] = """
+SELECT * FROM (VALUES
+  ('n04', 1.552381::DOUBLE, 1),
+  ('n12', 1.342857::DOUBLE, 2),
+  ('n01', 0.552381::DOUBLE, 3),
+  ('n08', 0.552381::DOUBLE, 4),
+  ('n09', 0.47619::DOUBLE, 5),
+  ('n07', 0.390476::DOUBLE, 6),
+  ('n05', 0.371429::DOUBLE, 7),
+  ('n11', 0.304762::DOUBLE, 8),
+  ('n10', 0.285714::DOUBLE, 9),
+  ('n17', 0.285714::DOUBLE, 10)
+) AS fx(node, score, rank)
+"""
+
+ORACLE_EXT2["graph_communities"] = """
+SELECT * FROM (VALUES
+  ('n00', 7::BIGINT),
+  ('n04', 6::BIGINT),
+  ('n09', 4::BIGINT),
+  ('n12', 5::BIGINT)
+) AS fx(community, size)
+"""
+
+
+# ---------------------------------------------------------------------------
 # The composed webtext preparation chain over deterministic fixture pages:
 # url-variant pair, exact-dup pair, near-dup pair, shared footer line,
 # link farm, low-quality page — every stage must fire

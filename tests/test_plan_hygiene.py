@@ -49,6 +49,7 @@ _ARROW_BOUNDS = {
     # the flatten pass and the shingle pass are both checkpoint-truncated:
     # no Python node may survive into the final plan
     "webtext_prep": (0, 0),
+    "graph_betweenness": (1, 1),  # the source-parallel transit pass
 }
 
 
