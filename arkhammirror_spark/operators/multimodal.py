@@ -46,8 +46,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-STRICT_DEFAULT = False
-
 _PIL_HINT = "PIL not installed. Install with: pip install pillow"
 
 MEDIA_SCHEMA = StructType(

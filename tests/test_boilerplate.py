@@ -65,6 +65,56 @@ class TestFlatten:
         assert by_tag["div"] == "outer tail"
 
 
+class TestFuzz:
+    def test_flatten_never_crashes_on_arbitrary_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tag_soup = st.lists(
+            st.sampled_from(
+                ["<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+                 "<li>", "</li>", "<script>", "</script>", "<h1>", "</h1>",
+                 "text body words here", "&amp;", "<", ">", "<!--", "-->",
+                 "<p", "deep content", "\n", "<br/>"]
+            ),
+            max_size=40,
+        ).map("".join)
+
+        @given(tag_soup)
+        @settings(max_examples=150, deadline=None)
+        def run(html):
+            rows = flatten_dom(html)
+            for i, r in enumerate(rows):
+                assert r["node_idx"] == i
+                assert r["text_len"] == len(r["text"]) > 0
+                assert 0 <= r["link_text_len"] <= r["text_len"]
+
+        run()
+
+    def test_png_roundtrip_fuzz(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from arkhammirror_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        @given(
+            st.integers(1, 12), st.integers(1, 12),
+            st.sampled_from([1, 3, 4]), st.integers(0, 2**32 - 1),
+        )
+        @settings(max_examples=80, deadline=None)
+        def run(w, h, channels, seed):
+            rng = np.random.default_rng(seed)
+            shape = (h, w) if channels == 1 else (h, w, channels)
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_image(encode_png(arr)), arr)
+
+        run()
+
+
 class TestSelection:
     def test_end_to_end_strips_boilerplate(self, spark):
         pages = spark.createDataFrame(
