@@ -29,6 +29,111 @@ STOP_WORDS_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]
 BULLET_CHARS = ("•", "‣", "▪", "-", "*")
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The repetition half of the Gopher filters (Rae et al. 2021 §A1.1):
+    repetitive documents are low-value training data even when the static
+    rules pass.
+
+    Per document:
+    - dup_line_frac       — lines occurring more than once / lines;
+    - dup_line_char_frac  — chars in all occurrences of duplicated lines /
+                            chars across lines;
+    - top_{n}gram_frac    — chars covered by the most frequent word n-gram
+                            (count × gram length / doc chars), n ∈ top_ns;
+    - dup_{n}gram_frac    — chars covered by ALL word n-grams occurring
+                            more than once (count × gram length / doc
+                            chars; overlaps counted per occurrence — the
+                            standard fast approximation of Gopher's
+                            character-coverage definition, mirrored
+                            exactly in the oracle), n ∈ dup_ns.
+
+    Mechanics: one explode per n + per-(doc, gram) count + per-doc agg —
+    all shuffles keyed by doc id, n small constants. `passes` applies the
+    paper's thresholds (0.30/0.20 lines; 0.20/0.18/0.16 top 2/3/4-grams;
+    0.15 … 0.10 for dup 5…10-grams, interpolated by n).
+    """
+    text = F.col(text_col)
+    base = df.select(F.col(id_col).alias("_id"), text.alias("_t"))
+    total_chars = F.length("_t").cast("double")
+
+    lines = F.filter(F.split(F.col("_t"), r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    lined = base.select(
+        "_id", total_chars.alias("_chars"), F.explode_outer(lines).alias("line")
+    )
+    line_stats = (
+        lined.groupBy("_id", "_chars", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id", "_chars")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup"),
+            F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+        .select(
+            "_id",
+            "_chars",
+            (F.col("n_dup") / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"))
+            .alias("dup_line_frac"),
+            (
+                F.col("dup_line_chars")
+                / F.greatest(F.col("line_chars"), F.lit(1)).cast("double")
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = F.filter(F.split(F.lower(F.col("_t")), r"\s+"), lambda w: F.length(w) > 0)
+
+    def gram_stats(n: int, top: bool) -> DataFrame:
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        ex = base.select(
+            "_id", total_chars.alias("_c"), F.explode_outer(grams).alias("g")
+        )
+        counts = ex.groupBy("_id", "_c", "g").agg(F.count(F.lit(1)).alias("c"))
+        covered = F.col("c") * F.length("g")
+        if top:
+            agg = F.max(F.when(F.col("g").isNotNull(), covered).otherwise(0))
+        else:
+            agg = F.sum(
+                F.when((F.col("c") > 1) & F.col("g").isNotNull(), covered).otherwise(0)
+            )
+        name = f"top_{n}gram_frac" if top else f"dup_{n}gram_frac"
+        return counts.groupBy("_id", "_c").agg(agg.alias("_cov")).select(
+            "_id",
+            (F.col("_cov") / F.greatest(F.col("_c"), F.lit(1.0))).alias(name),
+        )
+
+    out = line_stats.drop("_chars")
+    for n in top_ns:
+        out = out.join(gram_stats(n, top=True), "_id")
+    for n in dup_ns:
+        out = out.join(gram_stats(n, top=False), "_id")
+
+    top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    passes = (F.col("dup_line_frac") <= 0.30) & (
+        F.col("dup_line_char_frac") <= 0.20
+    )
+    for n in top_ns:
+        passes = passes & (F.col(f"top_{n}gram_frac") <= top_thr.get(n, 0.16))
+    for n in dup_ns:
+        passes = passes & (F.col(f"dup_{n}gram_frac") <= round(0.20 - 0.01 * n, 2))
+    return out.withColumnRenamed("_id", id_col).withColumn("passes", passes)
+
+
 def gopher_quality(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1798,6 +1798,166 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition rules over a derived corpus with planted duplicate
+# lines (doc_id%3 copies of a closing line) — word-soup docs already carry
+# natural n-gram repetition for the gram fractions
+# ---------------------------------------------------------------------------
+
+
+@register("gopher_repetition", None)  # oracle below
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import gopher_repetition
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("\nrepeated closing line"), (F.col("doc_id") % 3).cast("int")),
+        ).alias("text"),
+    )
+    r = gopher_repetition(d, top_ns=(2, 3), dup_ns=(5,))
+    return r.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("top_3gram_frac", 6).alias("top_3gram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        "passes",
+    )
+
+
+def _grep_gram_cte(n: int) -> str:
+    return f"""
+g{n} AS (
+  SELECT w.doc_id, w.chars, u.g
+  FROM words w, LATERAL (SELECT unnest(
+    CASE WHEN len(ws) >= {n}
+         THEN list_transform(generate_series(1, len(ws) - {n} + 1),
+                             i -> array_to_string(list_slice(ws, i, i + {n} - 1), ' '))
+         ELSE [] END) AS g) u
+),
+c{n} AS (SELECT doc_id, chars, g, count(*) AS c FROM g{n} GROUP BY 1, 2, 3),
+a{n} AS (
+  SELECT doc_id,
+         max(c * length(g)) / any_value(chars) AS top_frac,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) / any_value(chars) AS dup_frac
+  FROM c{n} GROUP BY 1
+)"""
+
+
+ORACLE_EXT2["gopher_repetition"] = f"""
+WITH derived AS (
+  SELECT doc_id,
+         text || repeat(chr(10) || 'repeated closing line', (doc_id % 3)::INT) AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, length(text)::DOUBLE AS chars,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> length(w) > 0) AS ws,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+  FROM derived
+),
+lx AS (
+  SELECT doc_id, u.line FROM words,
+         LATERAL (SELECT unnest(lines) AS line) u
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / greatest(sum(c), 1) AS dup_line_frac,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::DOUBLE
+           / greatest(sum(c * length(line)), 1) AS dup_line_char_frac
+  FROM lc GROUP BY 1
+),{_grep_gram_cte(2)},{_grep_gram_cte(3)},{_grep_gram_cte(5)}
+SELECT w.doc_id,
+       round(coalesce(l.dup_line_frac, 0), 6) AS dup_line_frac,
+       round(coalesce(l.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+       round(coalesce(a2.top_frac, 0), 6) AS top_2gram_frac,
+       round(coalesce(a3.top_frac, 0), 6) AS top_3gram_frac,
+       round(coalesce(a5.dup_frac, 0), 6) AS dup_5gram_frac,
+       (coalesce(l.dup_line_frac, 0) <= 0.30
+        AND coalesce(l.dup_line_char_frac, 0) <= 0.20
+        AND coalesce(a2.top_frac, 0) <= 0.20
+        AND coalesce(a3.top_frac, 0) <= 0.18
+        AND coalesce(a5.dup_frac, 0) <= 0.15) AS passes
+FROM words w
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection over a PII-planted derived corpus (doc_id%5 variants:
+# clean / emails / phones / ssn+ip / valid-and-invalid card) — the Luhn
+# fold runs natively on Spark and is mirrored digit-for-digit in DuckDB
+# ---------------------------------------------------------------------------
+
+
+@register("pii_scan", None)  # oracle below
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import detect_pii
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.col("doc_id") % 5
+    derived = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(v == 1, F.lit(" contact alice@example.com or bob.smith@mail.example.org"))
+            .when(v == 2, F.lit(" call (415) 555-2671 or +1 415-555-0100"))
+            .when(v == 3, F.lit(" ssn 123-45-6789 from host 192.168.10.20"))
+            .when(v == 4, F.lit(" card 4111 1111 1111 1111 and fake 4111-1111-1111-1112"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return detect_pii(derived)
+
+
+_PII_CARD = r"\b(?:\d[ \-]?){12,15}\d\b"
+_PII_LUHN = """
+list_filter(regexp_extract_all(text, '{card}'), c ->
+  length(regexp_replace(c, '[^0-9]', '', 'g')) >= 13
+  AND list_reduce(list_prepend(0, list_transform(
+        generate_series(1, length(regexp_replace(c, '[^0-9]', '', 'g'))),
+        i -> CASE WHEN i % 2 = 0
+               THEN CASE WHEN array_extract(string_split(reverse(regexp_replace(c, '[^0-9]', '', 'g')), ''), i)::INT * 2 > 9
+                    THEN array_extract(string_split(reverse(regexp_replace(c, '[^0-9]', '', 'g')), ''), i)::INT * 2 - 9
+                    ELSE array_extract(string_split(reverse(regexp_replace(c, '[^0-9]', '', 'g')), ''), i)::INT * 2 END
+               ELSE array_extract(string_split(reverse(regexp_replace(c, '[^0-9]', '', 'g')), ''), i)::INT END)),
+      (a, x) -> a + x) % 10 = 0)
+""".replace("{card}", _PII_CARD)
+
+ORACLE_EXT2["pii_scan"] = f"""
+WITH derived AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN ' contact alice@example.com or bob.smith@mail.example.org'
+           WHEN 2 THEN ' call (415) 555-2671 or +1 415-555-0100'
+           WHEN 3 THEN ' ssn 123-45-6789 from host 192.168.10.20'
+           WHEN 4 THEN ' card 4111 1111 1111 1111 and fake 4111-1111-1111-1112'
+           ELSE ''
+         END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '\\b(?:\\+?1[-. ]?)?\\(?\\d{{3}}\\)?[-. ]?\\d{{3}}[-. ]?\\d{{4}}\\b'))::BIGINT AS n_phone,
+         len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))::BIGINT AS n_ssn,
+         len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))::BIGINT AS n_ipv4,
+         len({_PII_LUHN})::BIGINT AS n_card_valid
+  FROM derived
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4, n_card_valid,
+       (n_email + n_phone + n_ssn + n_ipv4 + n_card_valid) > 0 AS has_pii
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed betweenness + LPA communities over a deterministic fixture
 # graph (two cliques + a bridge path + seeded extra edges): fixture-based
 # like format_extracts so the pinned oracles hold at every SF

@@ -714,6 +714,53 @@ class TestCanonicalUrls:
         assert got["http://b.io/q"]["n_variants"] == 1
 
 
+class TestPii:
+    def test_detect_counts_and_luhn(self, spark):
+        from arkhammirror_spark.operators.pii import detect_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "reach alice@example.com or bob.smith@mail.example.org now"),
+                (2, "call (415) 555-2671 or +1 415-555-0100 today"),
+                (3, "ssn 123-45-6789 leaked from host 192.168.10.20"),
+                (4, "card 4111 1111 1111 1111 works, 4111-1111-1111-1112 fails"),
+                (5, "a clean document with no sensitive content at all"),
+            ],
+            "doc_id: long, text: string",
+        )
+        got = {r["doc_id"]: r for r in detect_pii(docs).collect()}
+        assert got[1]["n_email"] == 2 and got[1]["has_pii"]
+        assert got[2]["n_phone"] == 2
+        assert got[3]["n_ssn"] == 1 and got[3]["n_ipv4"] == 1
+        # Luhn separates the valid test number from its off-by-one sibling
+        assert got[4]["n_card_valid"] == 1
+        assert got[5]["has_pii"] is False
+
+    def test_digit_runs_do_not_leak_into_phone_counts(self, spark):
+        from arkhammirror_spark.operators.pii import detect_pii
+
+        docs = spark.createDataFrame(
+            [(1, "a 16 digit run 4111111111111111 is a card, not a phone")],
+            "doc_id: long, text: string",
+        )
+        r = detect_pii(docs).collect()[0]
+        assert r["n_phone"] == 0 and r["n_card_valid"] == 1
+
+    def test_redact_replaces_all_kinds(self, spark):
+        from arkhammirror_spark.operators.pii import redact_pii
+
+        docs = spark.createDataFrame(
+            [(1, "alice@example.com, 123-45-6789, 4111 1111 1111 1111, "
+                 "+1 415-555-0100, 10.0.0.1 end")],
+            "doc_id: long, text: string",
+        )
+        out = redact_pii(docs).collect()[0]["text"]
+        for leak in ("alice@", "123-45-6789", "4111", "555-0100", "10.0.0.1"):
+            assert leak not in out, out
+        assert out.count("[PII]") == 5
+        assert out.endswith("end")
+
+
 class TestGopherQuality:
     def test_each_rule_branch(self, spark):
         from arkhammirror_spark.operators.quality import gopher_quality
@@ -738,6 +785,31 @@ class TestGopherQuality:
         assert got[3]["passes"] is False and got[3]["symbol_word_ratio"] > 0.1
         assert got[4]["passes"] is False and got[4]["bullet_line_frac"] > 0.9
         assert got[5]["passes"] is False and got[5]["n_stop_hits"] < 2
+
+
+class TestGopherRepetition:
+    def test_repetition_signals(self, spark):
+        from arkhammirror_spark.operators.quality import gopher_repetition
+
+        loops = ("buy now " * 30).strip()  # one 2-gram dominates
+        dup_lines = "unique opener line here\n" + "same line again\n" * 4
+        # long enough that one unique n-gram is a small char fraction —
+        # Gopher applies repetition rules after the 50-word minimum
+        clean = " ".join(f"word{i} token{i*7%97}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, loops), (2, dup_lines), (3, clean)],
+            "doc_id: long, text: string",
+        )
+        got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+        assert got[1]["top_2gram_frac"] > 0.5 and got[1]["passes"] is False
+        assert got[2]["dup_line_frac"] > 0.5 and got[2]["passes"] is False
+        assert got[3]["passes"] is True
+        assert got[3]["dup_line_frac"] == 0.0
+        # a doc shorter than n words has zero gram fractions, not a crash
+        tiny = spark.createDataFrame([(9, "two words")],
+                                     "doc_id: long, text: string")
+        r = gopher_repetition(tiny).collect()[0]
+        assert r["dup_5gram_frac"] == 0.0 and r["top_4gram_frac"] == 0.0
 
 
 class TestAudioFeatures:
