@@ -1798,6 +1798,83 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins: as-of (events ← latest order per user) and range
+# (events inside 6-hour windows anchored at sampled events). DuckDB has a
+# NATIVE ASOF JOIN, so the scale-shaped union+window plan is value-pinned
+# against the engine-native semantics; the range oracle is the plain
+# inequality join the bin-bucketed equi-join must reproduce exactly
+# ---------------------------------------------------------------------------
+
+
+@register("asof_latest_order", None)  # oracle below
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # unique (key, ts) right rows → deterministic tie-free asof on both
+    # engines (DuckDB leaves equal-ts winners unspecified otherwise)
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("right_o_orderdate"), F.col("right_o_orderkey"),
+    )
+
+
+ORACLE_EXT2["asof_latest_order"] = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       r.o_orderdate AS right_o_orderdate,
+       r.o_orderkey AS right_o_orderkey
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+@register("range_window_events", None)  # oracle below
+def q_range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import range_join
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ivals = (
+        events.where(F.col("event_id") % 17 == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+            F.col("event_id").alias("iid"),
+        )
+    )
+    out = range_join(
+        events, ivals, key="user_id", point_ts="ts",
+        start_ts="w_start", end_ts="w_end", bin_width_s=3600,
+    )
+    return out.select(F.col("event_id").alias("pid"), "iid")
+
+
+ORACLE_EXT2["range_window_events"] = """
+WITH ivals AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end,
+         event_id AS iid
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT e.event_id AS pid, i.iid
+FROM events e JOIN ivals i
+  ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts <= i.w_end
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher repetition rules over a derived corpus with planted duplicate
 # lines (doc_id%3 copies of a closing line) — word-soup docs already carry
 # natural n-gram repetition for the gram fractions

@@ -714,6 +714,95 @@ class TestCanonicalUrls:
         assert got["http://b.io/q"]["n_variants"] == 1
 
 
+class TestTemporalJoins:
+    def _frames(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        quotes = spark.createDataFrame(
+            [("k1", T(2026, 1, 1, 10, 0), 100.0),
+             ("k1", T(2026, 1, 1, 10, 5), 101.0),
+             ("k1", T(2026, 1, 1, 10, 9), 102.0),
+             ("k2", T(2026, 1, 1, 10, 2), 50.0)],
+            "key: string, qts: timestamp_ntz, price: double",
+        )
+        trades = spark.createDataFrame(
+            [("k1", T(2026, 1, 1, 10, 3), "t1"),   # after 10:00 quote
+             ("k1", T(2026, 1, 1, 10, 5), "t2"),   # ties the 10:05 quote
+             ("k1", T(2026, 1, 1, 9, 59), "t0"),   # before any quote
+             ("k2", T(2026, 1, 1, 11, 0), "t3")],
+            "key: string, tts: timestamp_ntz, trade_id: string",
+        )
+        return quotes, trades
+
+    def test_asof_join_latest_at_or_before(self, spark):
+        from arkhammirror_spark.operators.temporal import asof_join
+
+        quotes, trades = self._frames(spark)
+        got = {r["trade_id"]: r for r in
+               asof_join(trades, quotes, "key", "tts", "qts").collect()}
+        assert got["t1"]["right_price"] == 100.0
+        assert got["t2"]["right_price"] == 101.0   # ties match (<=)
+        assert got["t0"]["right_price"] is None    # nothing precedes
+        assert got["t3"]["right_price"] == 50.0
+
+    def test_asof_join_strict(self, spark):
+        from arkhammirror_spark.operators.temporal import asof_join
+
+        quotes, trades = self._frames(spark)
+        got = {r["trade_id"]: r for r in
+               asof_join(trades, quotes, "key", "tts", "qts",
+                         strict=True).collect()}
+        assert got["t2"]["right_price"] == 100.0   # strict <: tie excluded
+
+    def test_range_join_equals_naive(self, spark):
+        import datetime as dt
+        import random
+
+        from pyspark.sql import functions as F
+
+        from arkhammirror_spark.operators.temporal import range_join
+
+        rng = random.Random(3)
+        base = dt.datetime(2026, 1, 1)
+        points = [(f"k{rng.randrange(3)}",
+                   base + dt.timedelta(minutes=rng.randrange(0, 3000)), i)
+                  for i in range(200)]
+        ivals = []
+        for j in range(40):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 2800))
+            ivals.append((f"k{rng.randrange(3)}", s,
+                          s + dt.timedelta(minutes=rng.randrange(5, 400)), j))
+        pdf = spark.createDataFrame(
+            points, "key: string, ts: timestamp_ntz, pid: long")
+        idf = spark.createDataFrame(
+            ivals, "key: string, s: timestamp_ntz, e: timestamp_ntz, iid: long")
+        got = {(r["pid"], r["iid"]) for r in
+               range_join(pdf, idf, "key", "ts", "s", "e",
+                          bin_width_s=3600).collect()}
+        naive = {(r["pid"], r["iid"]) for r in
+                 pdf.join(idf, "key").where(
+                     (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))
+                 ).collect()}
+        assert got == naive and len(got) > 50
+
+    def test_range_join_no_nested_loop(self, spark):
+        import datetime as dt
+
+        from arkhammirror_spark.operators.temporal import range_join
+
+        T = dt.datetime
+        pdf = spark.createDataFrame(
+            [("a", T(2026, 1, 1, 1), 1)], "key: string, ts: timestamp_ntz, pid: long")
+        idf = spark.createDataFrame(
+            [("a", T(2026, 1, 1, 0), T(2026, 1, 1, 2), 1)],
+            "key: string, s: timestamp_ntz, e: timestamp_ntz, iid: long")
+        plan = range_join(pdf, idf, "key", "ts", "s", "e")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestPii:
     def test_detect_counts_and_luhn(self, spark):
         from arkhammirror_spark.operators.pii import detect_pii
