@@ -1798,6 +1798,59 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup (the TimescaleDB continuous-
+# aggregate shape): hour/day/month buckets in ONE scan via GROUPING SETS —
+# Catalyst expands the sets with a single Expand node feeding one
+# aggregation, so adding granularities does not add scans
+# ---------------------------------------------------------------------------
+
+
+@register("events_rollup", None)  # oracle below
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_rollup")
+    return spark.sql("""
+        SELECT
+          CASE WHEN grouping(h) = 0 THEN 'hour'
+               WHEN grouping(d) = 0 THEN 'day'
+               ELSE 'month' END AS granularity,
+          coalesce(h, d, m) AS bucket,
+          event_type,
+          count(*) AS n_events,
+          -- fixed-point: BIGINT sum of round(value*1e4) is order-independent
+          -- across partition counts/engines (a double SUM is not, and the
+          -- month bucket folds 10k addends — CLAUDE.md invariant 2)
+          round(sum(v4) / CAST(10000 AS DOUBLE), 4) AS sum_value
+        FROM (
+          SELECT date_trunc('HOUR', ts) AS h, date_trunc('DAY', ts) AS d,
+                 date_trunc('MONTH', ts) AS m, event_type,
+                 CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+          FROM _ev_rollup
+        )
+        GROUP BY event_type, GROUPING SETS ((h), (d), (m))
+    """)
+
+
+ORACLE_EXT2["events_rollup"] = """
+SELECT
+  CASE WHEN grouping(h) = 0 THEN 'hour'
+       WHEN grouping(d) = 0 THEN 'day'
+       ELSE 'month' END AS granularity,
+  coalesce(h, d, m) AS bucket,
+  event_type,
+  count(*)::BIGINT AS n_events,
+  round(sum(v4) / 10000::DOUBLE, 4) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         date_trunc('month', ts) AS m, event_type,
+         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+  FROM events
+)
+GROUP BY event_type, GROUPING SETS ((h), (d), (m))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temporal joins: as-of (events ← latest order per user) and range
 # (events inside 6-hour windows anchored at sampled events). DuckDB has a
 # NATIVE ASOF JOIN, so the scale-shaped union+window plan is value-pinned
