@@ -277,9 +277,16 @@ def dedup_lines(
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_idx", "line"),
     )
     exempt = F.length(F.trim(F.col("line"))) < min_chars
-    w = Window.partitionBy(F.xxhash64("line")).orderBy(id_col, "line_idx")
+    # Partition key is (hash, line), not hash alone: at 10^12 lines the
+    # expected number of 64-bit colliding DISTINCT line pairs is ~n^2/2^65
+    # (tens of thousands), and a collision would merge two unrelated lines
+    # into one ranking group, silently deleting a non-duplicate. Appending
+    # the raw line splits colliding groups; Spark hash-partitions the
+    # composite key, so the shuffle shape/cost is unchanged.
+    w = Window.partitionBy(F.xxhash64("line"), "line").orderBy(id_col, "line_idx")
     ranked = lines.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("line")))
+        "_cnt",
+        F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("line"), "line")),
     )
     if keep_first:
         keep = exempt | (F.col("_rn") == 1)
@@ -338,37 +345,63 @@ def simhash_pairs_from_sigs(
     sig_col: str = "simhash",
     max_hamming: int = 3,
     n_bits: int = 64,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Hamming-≤k pairs from precomputed SimHash signatures via banded
-    blocking. Bands ≥ max_hamming + 1 (pigeonhole: ≤k differing bits leave at
-    least one band identical — extra bands only add candidates, never miss),
-    so the banded join returns EXACTLY the brute-force Hamming-ball pairs at
-    ~1/2^band_bits the comparisons. Band width caps at 16 bits so the band
-    mask stays inside int64 even for max_hamming=0."""
-    band_bits = min(16, max(1, n_bits // (max_hamming + 1)))
-    n_bands = n_bits // band_bits
+    """Hamming-≤k pairs from precomputed SimHash signatures via the
+    block-combination blocking of Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling" (WWW'07): split the signature into
+    b > k blocks and key each row under every C(b, b-k) combination of
+    b-k blocks. A pair within Hamming k differs in at most k blocks, so at
+    least b-k blocks are untouched and SOME (b-k)-combination of identical
+    blocks is shared — the combo equi-join returns EXACTLY the brute-force
+    Hamming-ball pairs (no misses, candidates verified by bit_count).
+
+    Why not the simpler k+1 bands of 64/(k+1) bits: at k=3 that keys on
+    16-bit values, i.e. 65536 buckets/band, so expected bucket size grows
+    as n/65536 and candidate pairs as ~n²/65536 — measured 19.5× wall on
+    10× data in the sf1 soak. Here (b = k+3 default, k=3) the key is b-k=3
+    blocks ≈ 32 bits: expected bucket size stays O(1) until n ~ 4·10⁹ per
+    combo, at the cost of C(6,3) = 20 exploded rows per doc instead of 4.
+    Candidate volume is then output-bound, not corpus-quadratic.
+    """
+    from itertools import combinations
+
+    k = max_hamming
+    b = blocks if blocks is not None else max(k + 3, k + 1)
+    b = min(max(b, k + 1), n_bits)  # widths must be >= 1 bit
+    base_w, extra = divmod(n_bits, b)
+    widths = [base_w + (1 if i < extra else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
     if sig_col != "simhash":
         sigs = sigs.withColumnRenamed(sig_col, "simhash")
+
+    def block_val(i):
+        v = F.shiftright(F.col("simhash"), offsets[i])
+        if offsets[i] + widths[i] < n_bits:
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return v
+
+    # pack each combo's b-k block values into one long with exact-width
+    # shifts (total <= n_bits bits; a set top bit just makes the long
+    # negative, equality-join safe). combo id rides as a second key column.
+    keys = []
+    for combo in combinations(range(b), b - k):
+        key = None
+        for i in combo:
+            v = block_val(i)
+            key = v if key is None else F.shiftleft(key, widths[i]).bitwiseOR(v)
+        keys.append(key)
     banded = sigs.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(
-                        F.lit((1 << band_bits) - 1)
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
+        F.posexplode(F.array(*keys)).alias("combo", "key"),
     )
     a = banded.alias("a")
-    b = banded.alias("b")
+    bb = banded.alias("b")
     cands = (
         a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
+            bb,
+            (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

@@ -236,6 +236,8 @@ def betweenness_distributed(
     limit: int = 50,
     sample_sources: int | None = None,
     seed: int = 7,
+    edge_cap: int = 10_000_000,
+    auto_sample_above: int = 4096,
 ) -> DataFrame:
     """Source-parallel betweenness for graphs beyond the reference's
     500-node driver cap (builder.py:166) — the distributed sibling of
@@ -254,6 +256,19 @@ def betweenness_distributed(
     Rank ties break lexicographically by node (deterministic under any
     partitioning; the driver-side sibling uses accumulation order).
     Returns (node, score, rank) for the top `limit`.
+
+    Ceilings (enforced, not advisory): the edge count is measured FIRST and
+    anything above `edge_cap` raises before a single row reaches the driver
+    — the adjacency build is what bounds this form, and past it the
+    join-per-round shapes (connected_components_distributed /
+    pagerank_distributed) are the right tool. Graphs with more than
+    `auto_sample_above` nodes and no explicit `sample_sources` switch to
+    the Brandes–Pich sampled estimator automatically (exact per-source BFS
+    over every source is O(n·m) — quadratic-ish compute long before memory
+    hurts). The adjacency streams in via toLocalIterator (no second row
+    list) and the result is materialized eagerly so the broadcast can be
+    destroyed before returning (each call previously leaked one broadcast
+    for the session lifetime).
     """
     from pyspark.sql import Window
     from pyspark.sql.types import (
@@ -268,15 +283,23 @@ def betweenness_distributed(
 
     spark = edges.sparkSession
     ensure_shipped(spark)
-    rows = edges.select("entity_a", "entity_b").collect()
+    slim = edges.select("entity_a", "entity_b")
+    n_edges = slim.count()
+    if n_edges > edge_cap:
+        raise ValueError(
+            f"betweenness_distributed: {n_edges} edges exceeds edge_cap="
+            f"{edge_cap}; the broadcast-adjacency form is memory-bound — use "
+            "connected_components_distributed / pagerank_distributed style "
+            "join-per-round analytics or raise edge_cap explicitly."
+        )
     adj: dict[str, list[str]] = {}
-    for r in rows:
-        adj.setdefault(r["entity_a"], []).append(r["entity_b"])
-        adj.setdefault(r["entity_b"], []).append(r["entity_a"])
     nodes: list[str] = []
     seen: set[str] = set()
-    for r in rows:
-        for v in (r["entity_a"], r["entity_b"]):
+    for r in slim.toLocalIterator():
+        a, b = r["entity_a"], r["entity_b"]
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+        for v in (a, b):
             if v not in seen:
                 seen.add(v)
                 nodes.append(v)
@@ -284,6 +307,8 @@ def betweenness_distributed(
     if n == 0:
         return spark.createDataFrame([], "node string, score double, rank int")
 
+    if sample_sources is None and n > auto_sample_above:
+        sample_sources = auto_sample_above
     sources = nodes
     scale = 1.0
     if sample_sources is not None and sample_sources < n:
@@ -328,9 +353,14 @@ def betweenness_distributed(
         )
     )
     w = Window.orderBy(F.desc("score"), F.asc("node"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= limit
     )
+    # Materialize now (top-`limit` rows — tiny) so the broadcast is not
+    # needed by the returned plan and can be released immediately.
+    out = ranked.localCheckpoint(eager=True)
+    bc.destroy()
+    return out
 
 
 def label_propagation_communities(

@@ -359,6 +359,7 @@ RESIZE_SCHEMA = StructType(
         StructField("orig_height", IntegerType(), True),
         StructField("new_width", IntegerType(), True),
         StructField("new_height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
         StructField("engine", StringType(), False),
         StructField("error", StringType(), True),
     ]
@@ -375,7 +376,13 @@ def resize_images(
     """The reference's resize contract (image_worker.py:283-333):
     maintain_aspect=True → PIL.thumbnail semantics (fit inside the box,
     never upscale); False → exact (width, height), both required. Same
-    auto/strict/mock gate as extract_image_features."""
+    auto/strict/mock gate as extract_image_features.
+
+    Emits the RESIZED image as a deterministic filter-0 PNG in `payload`
+    (LANCZOS resample on the PIL lane like image_worker._resize,
+    nearest-neighbor on the stdlib lane; mock lane emits NULL). A resize
+    whose target equals the source dims re-encodes without resampling so
+    the output column is uniformly PNG."""
     if mode not in ("auto", "strict", "mock"):
         raise ValueError(f"unknown mode {mode!r}")
     if not maintain_aspect and (not width or not height):
@@ -410,17 +417,29 @@ def resize_images(
                         )
                     else:
                         nw, nh = int(width), int(height)
-                    if mode != "mock" and (nw, nh) != (ow, oh):
-                        resample_nearest(arr, nw, nh)  # the actual pixel work
+                    out_png = None
+                    if mode != "mock":
+                        if (nw, nh) != (ow, oh):
+                            if pil is not None:
+                                img = pil.fromarray(arr).resize(
+                                    (nw, nh), pil.Resampling.LANCZOS
+                                )
+                                import numpy as np
+
+                                arr = np.asarray(img)
+                            else:
+                                arr = resample_nearest(arr, nw, nh)
+                        out_png = encode_png(arr)
                     rows.append(
                         {"media_id": mid, "orig_width": ow, "orig_height": oh,
-                         "new_width": nw, "new_height": nh, "engine": engine,
-                         "error": None}
+                         "new_width": nw, "new_height": nh, "payload": out_png,
+                         "engine": engine, "error": None}
                     )
                 except Exception as exc:
                     rows.append(
                         {"media_id": mid, "orig_width": None, "orig_height": None,
-                         "new_width": None, "new_height": None, "engine": engine,
+                         "new_width": None, "new_height": None, "payload": None,
+                         "engine": engine,
                          "error": f"{type(exc).__name__}: {exc}"}
                     )
             yield pd.DataFrame(rows, columns=names)

@@ -43,6 +43,35 @@ from .schemas import AUDIT_SCHEMA
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/]+)"
 
+# Scratch parquet dirs from no-catalog runs. The snapshot must outlive the
+# lazy DataFrames handed back to the caller, so deletion is deferred to
+# interpreter exit rather than happening eagerly — but without this hook
+# every run_pipeline(out_dir=None) call leaked a full docs copy in /tmp.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _register_scratch_dir(path: str) -> None:
+    import atexit
+    import shutil
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(path)
+
+
+def cleanup_scratch_dirs() -> int:
+    """Eagerly delete registered no-catalog scratch snapshots (call once the
+    returned DataFrames are no longer needed). Returns the count removed."""
+    import shutil
+
+    n = len(_SCRATCH_DIRS)
+    for p in _SCRATCH_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+    return n
+
 
 def host_col(url):
     return F.regexp_extract(url, HOST_RE, 1)
@@ -216,6 +245,7 @@ def run_pipeline(
         import tempfile
 
         scratch = tempfile.mkdtemp(prefix="arkham_docs_scratch_")
+        _register_scratch_dir(scratch)
         scratch_path = f"{scratch}/docs_{snapshot_id}"
         docs_raw.write.mode("overwrite").parquet(scratch_path)
         docs_raw = spark.read.parquet(scratch_path)

@@ -5,8 +5,9 @@ pages). Publishes one JSON line; the runner stores it as BENCH/BENCH_sf1.json.
 Replication design (perf soak, not an oracle run — referential integrity
 and distribution shape are what matter):
 - fact tables get 10 replicas with consistent key offsets (orders.o_custkey
-  moves with customer.c_custkey, lineitem.l_orderkey with orders), so join
-  cardinalities scale exactly 10×;
+  moves with customer.c_custkey, lineitem.l_orderkey with orders, and
+  events.user_id moves with o_custkey so the as-of join events->orders keeps
+  its match rate per replica), so join cardinalities scale exactly 10×;
 - dimension tables (nation, region, part, supplier) stay 1× like real
   dims would;
 - documents/claims text: every WORD gets a per-replica suffix (replica 0
@@ -62,7 +63,7 @@ def build_sf1() -> None:
             FROM '{SRC}/embeddings.parquet', {rep}""",
         "events": f"""
             SELECT event_id + r.i * 10000000 AS event_id, ts,
-                   user_id + r.i * 10000000 AS user_id, event_type, value, props
+                   user_id + r.i * 1000000 AS user_id, event_type, value, props
             FROM '{SRC}/events.parquet', {rep}""",
         "lineitem": f"""
             SELECT l_orderkey + r.i * 10000000 AS l_orderkey, l_partkey,

@@ -193,6 +193,45 @@ class TestGraph:
                for r in label_propagation_communities(edges).collect()}
         assert got["x"] == got["y"] == "x"
 
+    def test_betweenness_edge_cap_raises_before_collect(self, spark):
+        """Above edge_cap the call must refuse (count-first gate) instead of
+        collecting an unbounded edge list to the driver."""
+        import pytest
+
+        from arkhammirror_spark.operators.graph import betweenness_distributed
+
+        edges = spark.createDataFrame(
+            [(f"a{i}", f"b{i}", 1) for i in range(10)],
+            "entity_a: string, entity_b: string, co_occurrence_count: long",
+        )
+        with pytest.raises(ValueError, match="edge_cap"):
+            betweenness_distributed(edges, edge_cap=5)
+
+    def test_betweenness_auto_sampling_above_node_threshold(self, spark):
+        """Graphs past auto_sample_above nodes take the Brandes–Pich sampled
+        path automatically — identical to asking for that sample explicitly."""
+        import random
+
+        from arkhammirror_spark.operators.graph import betweenness_distributed
+
+        rng = random.Random(11)
+        nodes = [f"n{i:02d}" for i in range(16)]
+        pairs = {(nodes[i], nodes[i + 1]) for i in range(15)}
+        while len(pairs) < 24:
+            a, b = rng.sample(nodes, 2)
+            if a > b:
+                a, b = b, a
+            pairs.add((a, b))
+        edges = spark.createDataFrame(
+            [(a, b, 1) for a, b in sorted(pairs)],
+            "entity_a: string, entity_b: string, co_occurrence_count: long",
+        )
+        auto = {(r["node"], round(r["score"], 9)) for r in
+                betweenness_distributed(edges, auto_sample_above=5).collect()}
+        explicit = {(r["node"], round(r["score"], 9)) for r in
+                    betweenness_distributed(edges, sample_sources=5).collect()}
+        assert auto == explicit
+
     def test_betweenness_distributed_sampled_estimator(self, spark):
         from arkhammirror_spark.operators.graph import betweenness_distributed
 
@@ -337,6 +376,27 @@ class TestMultimodal:
                                maintain_aspect=False).collect()}
         assert (exact["mb"]["new_width"], exact["mb"]["new_height"]) == (5, 9)
         assert got["mj"]["error"] is not None
+
+    def test_resize_emits_resized_payload(self, media):
+        """The resize must emit the actual resized pixels (PNG payload whose
+        decoded dims equal new_width x new_height), not dims-only planning;
+        mock mode emits NULL payload."""
+        from arkhammirror_spark.operators.multimodal import (
+            decode_image,
+            resize_images,
+        )
+
+        got = {r["media_id"]: r for r in
+               resize_images(media, width=6, height=6).collect()}
+        arr = decode_image(bytes(got["m1"]["payload"]))
+        assert arr.shape[:2] == (got["m1"]["new_height"], got["m1"]["new_width"])
+        # deterministic encode: same bytes on rerun
+        again = {r["media_id"]: r for r in
+                 resize_images(media, width=6, height=6).collect()}
+        assert bytes(again["m1"]["payload"]) == bytes(got["m1"]["payload"])
+        mock = {r["media_id"]: r for r in
+                resize_images(media, width=6, height=6, mode="mock").collect()}
+        assert mock["m1"]["payload"] is None
 
     def test_frame_sampling(self, media):
         frames = sample_video_frames(media, fps=1.0).collect()
@@ -671,6 +731,26 @@ class TestLineDedup:
         )
         got = dedup_lines(docs).collect()[0]["text"]
         assert got.count(line) == 1
+
+    def test_ranking_windows_keyed_by_raw_line_not_hash_alone(self, spark):
+        """Collision safety: at 10^12 lines, distinct lines colliding on
+        xxhash64 are expected (~n^2/2^65 pairs); the ranking windows must
+        partition on (hash, line) so a collision can never merge two
+        distinct lines into one dedup group. A real 64-bit collision can't
+        be synthesized in a test, so assert the window spec structurally."""
+        from arkhammirror_spark.operators.dedup import dedup_lines
+
+        docs = spark.createDataFrame(
+            [(1, "some document body line content")], "doc_id: long, text: string"
+        )
+        plan = dedup_lines(docs)._jdf.queryExecution().analyzed().toString()
+        specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+        assert specs, plan
+        for ln in specs:
+            # analyzer projects xxhash64(line) to _w0; the raw line column
+            # must still appear as a second partition key in the spec
+            head = ln.split("specifiedwindowframe", 1)[0]
+            assert ", line#" in head, ln
 
 
 class TestCanonicalUrls:

@@ -222,6 +222,23 @@ class TestExtractionStats:
             assert "InMemoryRelation" not in plan, f"{name} reads a cached frame"
         assert res.tables["docs"].count() > 0
 
+    def test_scratch_dirs_registered_and_cleanable(self, spark, pages):
+        """No-catalog scratch snapshots must not leak /tmp copies forever:
+        each is registered for atexit removal, and cleanup_scratch_dirs()
+        deletes them eagerly once the frames are done with."""
+        import os
+
+        from arkhammirror_spark import pipeline as pl
+
+        res = pl.run_pipeline(spark, pages, out_dir=None, num_partitions=8)
+        scratch = res.stats["scratch_dir"]
+        assert scratch in pl._SCRATCH_DIRS
+        assert res.tables["docs"].count() > 0
+        removed = pl.cleanup_scratch_dirs()
+        assert removed >= 1
+        assert not os.path.exists(scratch)
+        assert pl._SCRATCH_DIRS == []
+
     def test_name_set_edges_equal_mention_edges(self, spark, pages):
         from pyspark.sql import functions as F
         from arkhammirror_spark.operators.edges import (
