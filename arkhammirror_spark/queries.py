@@ -729,3 +729,8 @@ from .queries_ext2 import ORACLE_EXT2, QUERIES_EXT2  # noqa: E402
 
 QUERIES.update(QUERIES_EXT2)
 ORACLE_SQL.update(ORACLE_EXT2)
+
+from .queries_ext3 import ORACLE_EXT3, QUERIES_EXT3  # noqa: E402
+
+QUERIES.update(QUERIES_EXT3)
+ORACLE_SQL.update(ORACLE_EXT3)

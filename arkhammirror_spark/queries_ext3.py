@@ -1,0 +1,488 @@
+"""Round-4 driver-contract queries: media forensics (perceptual image
+hashing + similar-image search, EXIF/embedded metadata), credibility
+scoring, and ACH consistency-matrix scoring.
+
+Same discipline as queries.py: identical column names/types on both
+engines, deterministic ordering wherever LIMIT/top-N appears, pinned
+VALUES oracles for lanes whose math lives in numpy (the image_features
+pattern), full SQL mirrors for the column-math lanes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES_EXT3: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_EXT3: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES_EXT3[name] = fn
+        if oracle is not None:
+            ORACLE_EXT3[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + similar-image search (media_forensics/services/
+# perceptual_hash.py:57-132) — deterministic textured fixtures; pure
+# gradients are a degenerate pHash case (low-DCT coefficients ~0, bits on
+# the median knife-edge), cosine mixtures exercise all 64 bits.
+# ---------------------------------------------------------------------------
+
+
+def _textured_rgb(seed: int, edit: bool = False, mirror: bool = False):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(6):
+        fx, fy = rng.uniform(0.5, 3, 2)
+        p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+        img += rng.uniform(0.5, 1.5) * np.cos(
+            2 * np.pi * fx * xx / w + p1
+        ) * np.cos(2 * np.pi * fy * yy / h + p2)
+    g = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    if edit:
+        g = g.copy()
+        g[0:3, 0:3] = 255
+    if mirror:
+        g = np.ascontiguousarray(g[:, ::-1])
+    return np.stack([g, g, g], axis=2)
+
+
+def _phash_fixture(spark: SparkSession) -> DataFrame:
+    """base + small-local-edit (near-dup pair) + mirror + an independent
+    texture + a junk row that must quarantine."""
+    from .operators.multimodal import encode_png
+
+    rows = [
+        ("img-base", "image", encode_png(_textured_rgb(7)), None),
+        ("img-edit", "image", encode_png(_textured_rgb(7, edit=True)), None),
+        ("img-mirror", "image", encode_png(_textured_rgb(7, mirror=True)), None),
+        ("img-other", "image", encode_png(_textured_rgb(21)), None),
+        ("img-junk", "image", b"\x89PNGnotreal", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id: string, media_type: string, payload: binary, duration_s: double",
+    )
+
+
+@register("image_phash", None)  # oracle (VALUES) attached below
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three perceptual hashes over the stdlib decode lane, in the
+    reference's hex format (perceptual_hash.py:106-109: row-major bits,
+    first bit most significant, zfill 16). Junk row quarantines (excluded
+    here; its absence is part of the pin)."""
+    from .operators.phash import image_perceptual_hashes
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = image_perceptual_hashes(_phash_fixture(spark), mode="auto")
+    return out.where(F.col("error").isNull()).select(
+        "media_id", "ahash", "dhash", "phash"
+    )
+
+
+@register("image_neardup", None)  # oracle (VALUES) attached below
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-image pairs via the Manku block-combination hamming join over
+    pHash signatures — the banded join is EXACTLY the brute-force Hamming
+    ball (pigeonhole), so the pinned pairs double as a blocking-correctness
+    check: the engineered base/edit near-dup must survive, the mirror and
+    independent texture must not pair."""
+    from .operators.phash import image_neardup
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    pairs = image_neardup(_phash_fixture(spark), max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_EXT3["image_phash"] = """
+SELECT * FROM (VALUES
+  ('img-base',   '4f7be0171fe4701f', '631c768a887339cc', '85e181e43f5272af'),
+  ('img-edit',   '4f7be0171fe4701f', '631c768a887339cc', '85f181e43f52722f'),
+  ('img-mirror', 'f2de07e8f8270ef8', '39c791aeee3163cc', 'd0b4d4b16a0727fa'),
+  ('img-other',  '18c1c33e3ecfff30', '8eec709b8f64679b', 'de784ed80ea16197')
+) AS fx(media_id, ahash, dhash, phash)
+"""
+
+ORACLE_EXT3["image_neardup"] = """
+SELECT * FROM (VALUES
+  ('img-base', 'img-edit', 2::BIGINT)
+) AS fx(id_a, id_b, hamming)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXIF / embedded metadata + provenance anomaly rules (exif_extractor.py
+# :99-261, provenance/forensics.py:224-565) — every container lane and
+# every anomaly rule fires somewhere in the fixture.
+# ---------------------------------------------------------------------------
+
+
+def _metadata_fixture(spark: SparkSession) -> DataFrame:
+    from .operators.media_metadata import (
+        add_png_text,
+        build_jpeg_exif,
+        make_docx_with_core,
+        make_pdf_with_info,
+    )
+    from .operators.multimodal import encode_png
+
+    import numpy as np
+
+    png = add_png_text(
+        encode_png(np.zeros((4, 4, 3), dtype=np.uint8)),
+        {"Software": "gimp 2.10", "Comment": "fixture"},
+    )
+    rows = [
+        ("cam-full", build_jpeg_exif(
+            make="Canon", model="EOS 5D", software="Adobe Photoshop 24",
+            datetime_modified="2021:06:02 10:00:00",
+            datetime_original="2021:06:01 09:00:00",
+            datetime_digitized="2021:06:01 09:00:05",
+            gps=(40.446195, -79.982195))),
+        ("cam-clean", build_jpeg_exif(
+            make="Nikon", model="D750",
+            datetime_modified="2020:01:01 12:00:00",
+            datetime_original="2020:01:01 12:00:00",
+            datetime_digitized="2020:01:01 12:00:00")),
+        ("stripped", build_jpeg_exif(no_exif=True)),
+        ("gps-anon", build_jpeg_exif(gps=(48.8584, 2.2945))),
+        ("shot-png", png),
+        ("rep-pdf", make_pdf_with_info(
+            {"Title": "Report (v2)", "Author": "A. Analyst",
+             "Producer": "GPL Ghostscript 9.0",
+             "CreationDate": "D:20230510120000Z",
+             "ModDate": "D:20230101090000Z"})),
+        ("memo-docx", make_docx_with_core(
+            ["hello world"], title="Q3 Notes", author="Bob",
+            created="2022-03-01T10:00:00", modified="2022-04-01T10:00:00",
+            last_modified_by="Carol", revision=1)),
+        ("junk", b"\xff\xd8\x00broken marker stream"),
+    ]
+    return spark.createDataFrame(rows, "media_id: string, payload: binary")
+
+
+@register("media_metadata", None)  # oracle (VALUES) attached below
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified metadata surface over JPEG-EXIF / PNG-tEXt / PDF-Info /
+    OOXML-core lanes with the anomaly-rule warnings; corrupt containers
+    quarantine (the junk row appears with err=1 and no fields)."""
+    from .operators.media_metadata import extract_media_metadata
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = extract_media_metadata(_metadata_fixture(spark))
+    return out.select(
+        "media_id", "kind", "make", "model", "software",
+        "datetime_original", "gps_lat", "gps_lon", "title", "author",
+        "producer", "created", "modified", "last_modified_by", "revision",
+        "png_text",
+        F.array_join("warnings", "|").alias("warnings"),
+        F.col("error").isNotNull().cast("int").alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-level analysis (media_forensics/services/ela_analyzer.py:42-169) —
+# mock resave lane (no JPEG codec in this sandbox); diff/block-stat/
+# interpretation math is the real reference pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _ela_fixture(spark: SparkSession) -> DataFrame:
+    import numpy as np
+
+    from .operators.multimodal import encode_png
+
+    h, w = 192, 256
+    flat = np.full((h, w, 3), 100, dtype=np.uint8)
+    rng = np.random.RandomState(13)
+    # 96 quantizes exactly (zero mock-resave error), so flat blocks read 0
+    # while noise blocks read ~52 — block_std > 20 fires the 'variable' branch
+    split = np.full((h, w, 3), 96, dtype=np.uint8)
+    split[:, w // 2:] = rng.randint(0, 256, size=(h, w // 2, 3), dtype=np.uint8)
+    rows = [
+        ("ela-flat", "image", encode_png(flat), None),
+        ("ela-split", "image", encode_png(split), None),
+        ("ela-junk", "image", b"\x89PNGnope", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id: string, media_type: string, payload: binary, duration_s: double",
+    )
+
+
+@register("ela_metrics", None)  # oracle (VALUES) attached below
+def q_ela_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ela import ela_metrics
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = ela_metrics(_ela_fixture(spark), mode="auto")
+    return out.select(
+        "media_id",
+        F.round("mean_error", 6).alias("mean_error"),
+        F.round("std_error", 6).alias("std_error"),
+        "max_error",
+        F.round("uniformity_score", 6).alias("uniformity_score"),
+        "assessment",
+        F.col("error").isNotNull().cast("int").alias("err"),
+    )
+
+
+ORACLE_EXT3["ela_metrics"] = """
+SELECT * FROM (VALUES
+  ('ela-flat', 60.0::DOUBLE, 0.0::DOUBLE, 60.0::DOUBLE, 1.0::DOUBLE,
+   'Highly uniform error levels', 0),
+  ('ela-junk', NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+   NULL, 1),
+  ('ela-split', 26.246134::DOUBLE, 35.812431::DOUBLE, 105.0::DOUBLE,
+   0.505081::DOUBLE, 'Variable error levels detected', 0)
+) AS fx(media_id, mean_error, std_error, max_error, uniformity_score,
+        assessment, err)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Credibility scoring (credibility/models.py:354-405, :447-486,
+# shard.py:641-646) — assessments derived arithmetically from doc_ids so
+# the DuckDB oracle recomputes the FULL math, not pinned values. All sums
+# are BIGINT-exact (centi-integer weights/confidences); divisions are
+# integer floor divs, so there is no float to drift.
+# ---------------------------------------------------------------------------
+
+
+@register("credibility_scores", None)  # oracle below
+def q_credibility_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.credibility import (
+        checklist_scores,
+        deception_overall,
+        factor_weighted_scores,
+    )
+    from .queries import _load
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 10 < 3
+    )
+    k = F.col("k")
+    factors = docs.select(
+        F.col("doc_id").alias("source_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+    ).select(
+        "source_id",
+        F.element_at(
+            F.array(F.lit(30), F.lit(25), F.lit(20), F.lit(15), F.lit(10)),
+            k + 1,
+        ).alias("weight_centi"),
+        ((F.col("source_id") * (k + 7) + k * k * 13) % 101).alias("score"),
+    )
+    cred = factor_weighted_scores(factors)
+
+    c, i = F.col("c"), F.col("i")
+    inds = (
+        docs.select(
+            F.col("doc_id").alias("source_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+        )
+        .select(
+            "source_id", "c", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+        )
+        .select(
+            "source_id",
+            F.element_at(
+                F.array(F.lit("mom"), F.lit("pop"), F.lit("moses"), F.lit("eve")),
+                c + 1,
+            ).alias("checklist"),
+            (((F.col("source_id") + c * 5 + i * 3) % 5) * 25).alias(
+                "strength_score"
+            ),
+            (F.lit(50) + ((F.col("source_id") + c + i) % 6) * 10).alias(
+                "conf_centi"
+            ),
+        )
+    )
+    overall = deception_overall(checklist_scores(inds))
+    return cred.join(overall, "source_id").select(
+        "source_id", "cred_score", "cred_level", "deception_score", "risk_level"
+    )
+
+
+ORACLE_EXT3["credibility_scores"] = """
+WITH src AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 3),
+ks AS (SELECT unnest(generate_series(0, 4)) AS k),
+factors AS (
+  SELECT doc_id AS source_id,
+         CASE k WHEN 0 THEN 30 WHEN 1 THEN 25 WHEN 2 THEN 20
+                WHEN 3 THEN 15 ELSE 10 END AS w,
+         (doc_id * (k + 7) + k * k * 13) % 101 AS score
+  FROM src, ks),
+cred AS (
+  SELECT source_id, (SUM(score * w) // SUM(w))::INTEGER AS cred_score
+  FROM factors GROUP BY source_id),
+cs AS (SELECT unnest(generate_series(0, 3)) AS c),
+irows AS (SELECT unnest(generate_series(0, 3)) AS i),
+inds AS (
+  SELECT doc_id AS source_id, c,
+         ((doc_id + c * 5 + i * 3) % 5) * 25 AS ss,
+         50 + ((doc_id + c + i) % 6) * 10 AS conf
+  FROM src, cs, irows),
+cl AS (
+  SELECT source_id, c,
+         (SUM(ss * conf) // (COUNT(*) * 100))::INTEGER AS score
+  FROM inds WHERE ss > 0 GROUP BY source_id, c),
+overall AS (
+  SELECT source_id,
+         (SUM(CASE c WHEN 0 THEN 35 WHEN 1 THEN 15
+                     WHEN 2 THEN 25 ELSE 25 END * score)
+          // SUM(CASE c WHEN 0 THEN 35 WHEN 1 THEN 15
+                        WHEN 2 THEN 25 ELSE 25 END))::INTEGER AS dscore
+  FROM cl GROUP BY source_id)
+SELECT cred.source_id, cred_score,
+       CASE WHEN cred_score <= 20 THEN 'unreliable'
+            WHEN cred_score <= 40 THEN 'low'
+            WHEN cred_score <= 60 THEN 'medium'
+            WHEN cred_score <= 80 THEN 'high'
+            ELSE 'verified' END AS cred_level,
+       dscore AS deception_score,
+       CASE WHEN dscore <= 20 THEN 'minimal'
+            WHEN dscore <= 40 THEN 'low'
+            WHEN dscore <= 60 THEN 'moderate'
+            WHEN dscore <= 80 THEN 'high'
+            ELSE 'critical' END AS risk_level
+FROM cred JOIN overall ON cred.source_id = overall.source_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ACH consistency-matrix scoring (ach/scoring.py:20-129) — three synthetic
+# matrices scored in one keyed pass; full SQL mirror.
+# ---------------------------------------------------------------------------
+
+
+@register("ach_scores", None)  # oracle below
+def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ach import ach_scores
+
+    m, h, e = F.col("m"), F.col("h"), F.col("e")
+    base = (
+        spark.range(3)
+        .select(F.col("id").alias("m"))
+        .select("m", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("h"))
+        .select("m", "h", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("e"))
+    )
+    ratings = base.select(
+        F.concat(F.lit("mx"), m).alias("matrix_id"),
+        F.concat(F.lit("h"), h).alias("hypothesis_id"),
+        F.concat(F.lit("e"), e).alias("evidence_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ["++", "+", "N", "-", "--", "N/A"]]),
+            ((m * 3 + h * 7 + e * 5) % 6 + 1).cast("int"),
+        ).alias("rating"),
+        (F.lit(50) + (e * 7 + m) % 51).alias("cred_centi"),
+        (F.lit(50) + (e * 11 + h) % 51).alias("rel_centi"),
+        (F.lit(60) + ((h + e + m) % 5) * 10).alias("conf_centi"),
+    )
+    out = ach_scores(ratings)
+    return out.select(
+        "matrix_id", "hypothesis_id",
+        F.col("consistency_score").cast("long").alias("consistency_score"),
+        F.col("inconsistency_count").cast("long").alias("inconsistency_count"),
+        F.round("weighted_score", 6).alias("weighted_score"),
+        F.round("normalized_score", 6).alias("normalized_score"),
+        F.col("evidence_count").cast("long").alias("evidence_count"),
+        "rank",
+    )
+
+
+ORACLE_EXT3["ach_scores"] = """
+WITH ms AS (SELECT unnest(generate_series(0, 2)) AS m),
+hs AS (SELECT unnest(generate_series(0, 3)) AS h),
+es AS (SELECT unnest(generate_series(0, 7)) AS e),
+ratings AS (
+  SELECT 'mx' || m AS matrix_id, 'h' || h AS hypothesis_id,
+         'e' || e AS evidence_id,
+         list_extract(['++', '+', 'N', '-', '--', 'N/A'],
+                      ((m * 3 + h * 7 + e * 5) % 6 + 1)::INT) AS rating,
+         50 + (e * 7 + m) % 51 AS cred,
+         50 + (e * 11 + h) % 51 AS rel,
+         60 + ((h + e + m) % 5) * 10 AS conf
+  FROM ms, hs, es),
+scored AS (
+  SELECT matrix_id, hypothesis_id,
+         SUM(CASE WHEN rating = 'N/A' THEN 0
+                  WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                  WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+                  ELSE -2 END) AS consistency_score,
+         SUM(CASE WHEN rating IN ('-', '--') THEN 1 ELSE 0 END)
+           AS inconsistency_count,
+         SUM(CASE WHEN rating = 'N/A' THEN 0 ELSE
+             (CASE WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                   WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+                   ELSE -2 END) * cred * rel * conf END) AS wnum,
+         SUM(CASE WHEN rating = 'N/A' THEN 0 ELSE cred * rel END) AS wden,
+         COUNT(*) AS evidence_count
+  FROM ratings GROUP BY matrix_id, hypothesis_id),
+finals AS (
+  SELECT matrix_id, hypothesis_id, consistency_score, inconsistency_count,
+         CASE WHEN wden > 0 THEN wnum::DOUBLE / (wden::DOUBLE * 100.0)
+              ELSE 0.0 END AS weighted_score,
+         CASE WHEN wden > 0
+              THEN (wnum::DOUBLE / (wden::DOUBLE * 100.0) + 2.0) / 4.0 * 100.0
+              ELSE 50.0 END AS normalized_score,
+         evidence_count
+  FROM scored)
+SELECT matrix_id, hypothesis_id, consistency_score, inconsistency_count,
+       round(weighted_score, 6) AS weighted_score,
+       round(normalized_score, 6) AS normalized_score, evidence_count,
+       row_number() OVER (PARTITION BY matrix_id
+                          ORDER BY inconsistency_count ASC,
+                                   weighted_score DESC,
+                                   hypothesis_id ASC)::INT AS rank
+FROM finals
+"""
+
+
+ORACLE_EXT3["media_metadata"] = """
+SELECT * FROM (VALUES
+  ('cam-clean', 'jpeg', 'Nikon', 'D750', NULL, '2020:01:01 12:00:00',
+   NULL::DOUBLE, NULL::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL::INTEGER, NULL, '', 0),
+  ('cam-full', 'jpeg', 'Canon', 'EOS 5D', 'Adobe Photoshop 24',
+   '2021:06:01 09:00:00', 40.446195::DOUBLE, -79.982195::DOUBLE, NULL, NULL,
+   NULL, NULL, NULL, NULL, NULL::INTEGER, NULL,
+   'EDITING_SOFTWARE|TIMESTAMP_MISMATCH|DIGITIZED_MISMATCH', 0),
+  ('gps-anon', 'jpeg', NULL, NULL, NULL, NULL, 48.8584::DOUBLE,
+   2.2945::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL,
+   'NO_CAMERA|GPS_NO_CAMERA', 0),
+  ('junk', 'jpeg', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE, NULL,
+   NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL, '', 1),
+  ('memo-docx', 'ooxml', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
+   'Q3 Notes', 'Bob', NULL, '2022-03-01T10:00:00', '2022-04-01T10:00:00',
+   'Carol', 1, NULL, 'REVISION_ANOMALY', 0),
+  ('rep-pdf', 'pdf', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
+   'Report (v2)', 'A. Analyst', 'GPL Ghostscript 9.0', '2023-05-10T12:00:00',
+   '2023-01-01T09:00:00', NULL, NULL::INTEGER, NULL,
+   'TIMESTAMP_ANOMALY|PDF_TOOL_DETECTED', 0),
+  ('shot-png', 'png', NULL, NULL, 'gimp 2.10', NULL, NULL::DOUBLE,
+   NULL::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER,
+   'Comment=fixture;Software=gimp 2.10', '', 0),
+  ('stripped', 'jpeg', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
+   NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL, 'NO_EXIF', 0)
+) AS fx(media_id, kind, make, model, software, datetime_original, gps_lat,
+        gps_lon, title, author, producer, created, modified,
+        last_modified_by, revision, png_text, warnings, err)
+"""

@@ -405,6 +405,108 @@ class TestMultimodal:
         assert frames[1]["frame_ts_s"] == 1.0
 
 
+def _textured_rgb(seed: int, edit: bool = False, mirror: bool = False):
+    """Deterministic smooth cosine-mixture texture (pure-gradient images are
+    a degenerate pHash case: ~56 of the 64 low-DCT coefficients are ~0, so
+    bits sit on the median knife-edge)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(6):
+        fx, fy = rng.uniform(0.5, 3, 2)
+        p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+        img += rng.uniform(0.5, 1.5) * np.cos(
+            2 * np.pi * fx * xx / w + p1
+        ) * np.cos(2 * np.pi * fy * yy / h + p2)
+    g = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    if edit:
+        g = g.copy()
+        g[0:3, 0:3] = 255
+    if mirror:
+        g = np.ascontiguousarray(g[:, ::-1])
+    return np.stack([g, g, g], axis=2)
+
+
+class TestPerceptualHash:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from arkhammirror_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            encode_png,
+        )
+
+        rows = [
+            ("base", "image", encode_png(_textured_rgb(7)), "image/png",
+             None, None, None),
+            ("edit", "image", encode_png(_textured_rgb(7, edit=True)),
+             "image/png", None, None, None),
+            ("mirror", "image", encode_png(_textured_rgb(7, mirror=True)),
+             "image/png", None, None, None),
+            ("other", "image", encode_png(_textured_rgb(21)), "image/png",
+             None, None, None),
+            ("junk", "image", b"\x89PNGfake2", "image/png", None, None, None),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_hashes_deterministic_and_reference_format(self, media):
+        from arkhammirror_spark.operators.phash import (
+            hamming_distance_hex,
+            image_perceptual_hashes,
+        )
+
+        got = {r["media_id"]: r for r in
+               image_perceptual_hashes(media).collect()}
+        for mid in ("base", "edit", "mirror", "other"):
+            r = got[mid]
+            assert r["error"] is None
+            for h in ("ahash", "dhash", "phash"):
+                assert len(r[h]) == 16 and int(r[h], 16) >= 0
+                # hex and long views encode the same 64 bits
+                assert int(r[h], 16) == r[f"{h}_sig"] % (1 << 64)
+        assert got["junk"]["error"] is not None
+        # a small local edit is hash-near; a mirror is hash-far
+        near = hamming_distance_hex(got["base"]["phash"], got["edit"]["phash"])
+        far = hamming_distance_hex(got["base"]["phash"], got["mirror"]["phash"])
+        assert near <= 6 < far
+        again = {r["media_id"]: r for r in
+                 image_perceptual_hashes(media).collect()}
+        assert again["base"]["phash"] == got["base"]["phash"]
+
+    def test_image_neardup_banded_equals_bruteforce(self, media):
+        from arkhammirror_spark.operators.phash import (
+            hamming_distance_hex,
+            image_neardup,
+            image_perceptual_hashes,
+        )
+
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in image_neardup(media, max_hamming=6).collect()}
+        sigs = {r["media_id"]: r["phash"] for r in
+                image_perceptual_hashes(media).collect()
+                if r["error"] is None}
+        ids = sorted(sigs)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = hamming_distance_hex(sigs[a], sigs[b])
+                if d <= 6:
+                    brute[(a, b)] = d
+        assert pairs == brute
+        assert ("base", "edit") in pairs  # the engineered near-dup survives
+
+    def test_mock_lane_deterministic(self, media):
+        from arkhammirror_spark.operators.phash import image_perceptual_hashes
+
+        a = {r["media_id"]: r["phash"] for r in
+             image_perceptual_hashes(media, mode="mock").collect()}
+        b = {r["media_id"]: r["phash"] for r in
+             image_perceptual_hashes(media, mode="mock").collect()}
+        assert a == b and a["junk"] is not None  # mock hashes anything
+
+
 class TestStreaming:
     def test_stream_extract_available_now_and_incremental(self, spark, tmp_path):
         from arkhammirror_spark.datagen import gen_pages_df
