@@ -278,6 +278,11 @@ def image_neardup(
         image_perceptual_hashes(media, mode=mode)
         .where(F.col("error").isNull())
         .select("media_id", F.col(f"{hash_type}_sig").alias("sig"))
+        # slim (id, 64-bit sig) checkpoint: both sides of the banded
+        # self-join would otherwise re-run the decode+hash Arrow pass
+        # (the invariant-5 slim-hash rule; swap for a storage checkpoint
+        # on a real cluster)
+        .localCheckpoint(eager=True)
     )
     return simhash_pairs_from_sigs(
         sigs,

@@ -186,11 +186,18 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_shipped(spark)
     out = extract_media_metadata(_metadata_fixture(spark))
+    # absent fields surface as typed sentinels, not NULLs: the driver's
+    # value compare sorts rows as tuples and None is unorderable vs str
+    s = lambda c: F.coalesce(F.col(c), F.lit("<na>")).alias(c)  # noqa: E731
     return out.select(
-        "media_id", "kind", "make", "model", "software",
-        "datetime_original", "gps_lat", "gps_lon", "title", "author",
-        "producer", "created", "modified", "last_modified_by", "revision",
-        "png_text",
+        "media_id", "kind", s("make"), s("model"), s("software"),
+        s("datetime_original"),
+        F.coalesce("gps_lat", F.lit(-424242.0)).alias("gps_lat"),
+        F.coalesce("gps_lon", F.lit(-424242.0)).alias("gps_lon"),
+        s("title"), s("author"), s("producer"), s("created"), s("modified"),
+        s("last_modified_by"),
+        F.coalesce("revision", F.lit(-424242)).alias("revision"),
+        s("png_text"),
         F.array_join("warnings", "|").alias("warnings"),
         F.col("error").isNotNull().cast("int").alias("err"),
     )
@@ -241,6 +248,14 @@ def q_ela_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("uniformity_score", 6).alias("uniformity_score"),
         "assessment",
         F.col("error").isNotNull().cast("int").alias("err"),
+    ).select(  # sentinel-pad the quarantine row (driver sort needs no NULLs)
+        "media_id",
+        F.coalesce("mean_error", F.lit(-424242.0)).alias("mean_error"),
+        F.coalesce("std_error", F.lit(-424242.0)).alias("std_error"),
+        F.coalesce("max_error", F.lit(-424242.0)).alias("max_error"),
+        F.coalesce("uniformity_score", F.lit(-424242.0)).alias("uniformity_score"),
+        F.coalesce("assessment", F.lit("<na>")).alias("assessment"),
+        "err",
     )
 
 
@@ -248,8 +263,8 @@ ORACLE_EXT3["ela_metrics"] = """
 SELECT * FROM (VALUES
   ('ela-flat', 60.0::DOUBLE, 0.0::DOUBLE, 60.0::DOUBLE, 1.0::DOUBLE,
    'Highly uniform error levels', 0),
-  ('ela-junk', NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
-   NULL, 1),
+  ('ela-junk', -424242.0::DOUBLE, -424242.0::DOUBLE, -424242.0::DOUBLE,
+   -424242.0::DOUBLE, '<na>', 1),
   ('ela-split', 26.246134::DOUBLE, 35.812431::DOUBLE, 105.0::DOUBLE,
    0.505081::DOUBLE, 'Variable error levels detected', 0)
 ) AS fx(media_id, mean_error, std_error, max_error, uniformity_score,
@@ -458,30 +473,30 @@ FROM finals
 
 ORACLE_EXT3["media_metadata"] = """
 SELECT * FROM (VALUES
-  ('cam-clean', 'jpeg', 'Nikon', 'D750', NULL, '2020:01:01 12:00:00',
-   NULL::DOUBLE, NULL::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL,
-   NULL::INTEGER, NULL, '', 0),
+  ('cam-clean', 'jpeg', 'Nikon', 'D750', '<na>', '2020:01:01 12:00:00',
+   -424242.0::DOUBLE, -424242.0::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>',
+   -424242::INTEGER, '<na>', '', 0),
   ('cam-full', 'jpeg', 'Canon', 'EOS 5D', 'Adobe Photoshop 24',
-   '2021:06:01 09:00:00', 40.446195::DOUBLE, -79.982195::DOUBLE, NULL, NULL,
-   NULL, NULL, NULL, NULL, NULL::INTEGER, NULL,
+   '2021:06:01 09:00:00', 40.446195::DOUBLE, -79.982195::DOUBLE, '<na>', '<na>',
+   '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>',
    'EDITING_SOFTWARE|TIMESTAMP_MISMATCH|DIGITIZED_MISMATCH', 0),
-  ('gps-anon', 'jpeg', NULL, NULL, NULL, NULL, 48.8584::DOUBLE,
-   2.2945::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL,
+  ('gps-anon', 'jpeg', '<na>', '<na>', '<na>', '<na>', 48.8584::DOUBLE,
+   2.2945::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>',
    'NO_CAMERA|GPS_NO_CAMERA', 0),
-  ('junk', 'jpeg', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE, NULL,
-   NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL, '', 1),
-  ('memo-docx', 'ooxml', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
-   'Q3 Notes', 'Bob', NULL, '2022-03-01T10:00:00', '2022-04-01T10:00:00',
-   'Carol', 1, NULL, 'REVISION_ANOMALY', 0),
-  ('rep-pdf', 'pdf', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
+  ('junk', 'jpeg', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE, '<na>',
+   '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', '', 1),
+  ('memo-docx', 'ooxml', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
+   'Q3 Notes', 'Bob', '<na>', '2022-03-01T10:00:00', '2022-04-01T10:00:00',
+   'Carol', 1, '<na>', 'REVISION_ANOMALY', 0),
+  ('rep-pdf', 'pdf', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
    'Report (v2)', 'A. Analyst', 'GPL Ghostscript 9.0', '2023-05-10T12:00:00',
-   '2023-01-01T09:00:00', NULL, NULL::INTEGER, NULL,
+   '2023-01-01T09:00:00', '<na>', -424242::INTEGER, '<na>',
    'TIMESTAMP_ANOMALY|PDF_TOOL_DETECTED', 0),
-  ('shot-png', 'png', NULL, NULL, 'gimp 2.10', NULL, NULL::DOUBLE,
-   NULL::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER,
+  ('shot-png', 'png', '<na>', '<na>', 'gimp 2.10', '<na>', -424242.0::DOUBLE,
+   -424242.0::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER,
    'Comment=fixture;Software=gimp 2.10', '', 0),
-  ('stripped', 'jpeg', NULL, NULL, NULL, NULL, NULL::DOUBLE, NULL::DOUBLE,
-   NULL, NULL, NULL, NULL, NULL, NULL, NULL::INTEGER, NULL, 'NO_EXIF', 0)
+  ('stripped', 'jpeg', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
+   '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', 'NO_EXIF', 0)
 ) AS fx(media_id, kind, make, model, software, datetime_original, gps_lat,
         gps_lon, title, author, producer, created, modified,
         last_modified_by, revision, png_text, warnings, err)

@@ -49,7 +49,12 @@ _ARROW_BOUNDS = {
     # the flatten pass and the shingle pass are both checkpoint-truncated:
     # no Python node may survive into the final plan
     "webtext_prep": (0, 0),
-    "graph_betweenness": (1, 1),  # the source-parallel transit pass
+    # eager checkpoint (broadcast release) truncates the transit pass
+    "graph_betweenness": (0, 0),
+    "image_phash": (1, 1),        # the gated decode+hash mapInPandas pass
+    "image_neardup": (0, 0),      # slim sigs checkpoint truncates the pass
+    "media_metadata": (1, 1),     # the stdlib container-walk pass
+    "ela_metrics": (1, 1),        # the gated resave+diff pass
 }
 
 

@@ -1,7 +1,12 @@
-"""Driver-gate rehearsal: run every registry query on Spark AND its DuckDB
+"""Driver-gate rehearsal: run every CONTRACT query on Spark AND its DuckDB
 oracle on the same parquet tables, compare row count, column names, and exact
 values (order-insensitive) — a strict local mirror of the driver's
-CORRECTNESS check at sf=0.001 for speed."""
+CORRECTNESS check at sf=0.001 for speed.
+
+The contract (arkhammirror_spark/contract.py) is the consolidated 50-entry
+registry the driver actually sees; merged entries evaluate every part-level
+query of queries.QUERIES inside them, so this suite covers the full part
+registry through the exact surface the driver checks."""
 
 import math
 import os
@@ -9,7 +14,9 @@ import os
 import duckdb
 import pytest
 
-from arkhammirror_spark.queries import ORACLE_SQL, QUERIES
+from arkhammirror_spark.contract import build_contract
+
+QUERIES, ORACLE_SQL = build_contract()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
