@@ -163,6 +163,25 @@ MERGES: dict[str, tuple[list, list]] = {
          ("pairs", "image_neardup",
           {"id_a": "id_a", "id_b": "id_b", "hamming": "hamming"})],
     ),
+    "media_forensics": (
+        [("media_id", _S), ("mean_error", _D), ("std_error", _D),
+         ("max_error", _D), ("uniformity_score", _D), ("assessment", _S),
+         ("err", _I), ("sun_altitude", _D), ("sun_azimuth", _D),
+         ("expected_shadow_direction", _D), ("shadow_length_ratio", _D),
+         ("sun_above_horizon", _BO), ("interpretation", _S)],
+        [("ela", "ela_metrics",
+          {"media_id": "media_id", "mean_error": "mean_error",
+           "std_error": "std_error", "max_error": "max_error",
+           "uniformity_score": "uniformity_score",
+           "assessment": "assessment", "err": "err"}),
+         ("sunpos", "sun_positions",
+          {"media_id": "pid", "sun_altitude": "sun_altitude",
+           "sun_azimuth": "sun_azimuth",
+           "expected_shadow_direction": "expected_shadow_direction",
+           "shadow_length_ratio": "shadow_length_ratio",
+           "sun_above_horizon": "sun_above_horizon",
+           "interpretation": "interpretation"})],
+    ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),
          ("f_std", _D), ("f_min", _D), ("f_max", _D), ("f_median", _D),

@@ -259,6 +259,59 @@ def q_ela_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sun-position verification (media_forensics/services/sun_position.py
+# :38-127) — zero-Python NOAA solar geometry; pinned VALUES oracle (trig
+# libm differs between the JVM and DuckDB, so values pin at the
+# reference's own 2-decimal rounding rather than mirroring the math).
+# ---------------------------------------------------------------------------
+
+
+@register("sun_positions", None)  # oracle (VALUES) attached below
+def q_sun_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sunpos import sun_positions
+
+    rows = [
+        ("greenwich-solstice", 51.4778, -0.0014, "2023-06-21 12:02:00"),
+        ("equator-equinox", 0.0, 0.0, "2023-03-20 12:07:00"),
+        ("sydney-summer", -33.87, 151.21, "2023-01-15 02:00:00"),
+        ("greenwich-midnight", 51.4778, -0.0014, "2023-06-21 00:00:00"),
+        ("tokyo-morning", 35.6764, 139.6500, "2023-04-10 00:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid: string, gps_lat: double, gps_lon: double, ts_s: string"
+    ).select(
+        "pid", "gps_lat", "gps_lon",
+        F.to_timestamp_ntz("ts_s").alias("ts"),  # zone-free on any driver
+    )
+    return sun_positions(df).select(
+        "pid", "sun_altitude", "sun_azimuth", "expected_shadow_direction",
+        "shadow_length_ratio", "sun_above_horizon", "interpretation",
+    )
+
+
+ORACLE_EXT3["sun_positions"] = """
+SELECT * FROM (VALUES
+  ('equator-equinox', 89.8::DOUBLE, 139.59::DOUBLE, 319.59::DOUBLE,
+   0.0::DOUBLE, true,
+   'Sun is high (midday), positioned to the Southeast. Shadows should point roughly opposite.'),
+  ('greenwich-midnight', -15.08::DOUBLE, 359.61::DOUBLE, 179.61::DOUBLE,
+   -424242.0::DOUBLE, false,
+   'Sun is below the horizon - no direct sunlight possible'),
+  ('greenwich-solstice', 61.96::DOUBLE, 180.12::DOUBLE, 0.12::DOUBLE,
+   0.53::DOUBLE, true,
+   'Sun is high (midday), positioned to the South. Shadows should point roughly opposite.'),
+  ('sydney-summer', 77.29::DOUBLE, 4.59::DOUBLE, 184.59::DOUBLE,
+   0.23::DOUBLE, true,
+   'Sun is high (midday), positioned to the North. Shadows should point roughly opposite.'),
+  ('tokyo-morning', 48.78::DOUBLE, 124.53::DOUBLE, 304.53::DOUBLE,
+   0.88::DOUBLE, true,
+   'Sun is moderate (mid-morning/afternoon), positioned to the Southeast. Shadows should point roughly opposite.')
+) AS fx(pid, sun_altitude, sun_azimuth, expected_shadow_direction,
+        shadow_length_ratio, sun_above_horizon, interpretation)
+"""
+
+
 ORACLE_EXT3["ela_metrics"] = """
 SELECT * FROM (VALUES
   ('ela-flat', 60.0::DOUBLE, 0.0::DOUBLE, 60.0::DOUBLE, 1.0::DOUBLE,

@@ -170,8 +170,19 @@ Raw per-run JSON (headline pair):
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # everything below the marker (sf1 soaks, regression probes, ...) is
+    # maintained by hand across rounds — regenerate only the headline
+    marker = "<!-- PRESERVED APPENDIX -->"
+    appendix = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
+    with open(out_path, "w") as fh:
         fh.write(md)
+        if appendix:
+            fh.write("\n" + appendix)
 
 
 if __name__ == "__main__":

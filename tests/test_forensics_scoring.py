@@ -3,6 +3,7 @@ scoring (credibility, ACH) unit tests — reference-semantics parity on
 deterministic fixtures."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from arkhammirror_spark.operators.media_metadata import (
     add_png_text,
@@ -161,6 +162,59 @@ class TestEla:
         assert got["bad"]["error"] is not None
         with _pytest.raises(Exception, match="pillow"):
             ela_metrics(media, mode="strict").collect()
+
+
+class TestSunPosition:
+    def test_known_positions_match_noaa(self, spark):
+        """Spot-check the native NOAA solar geometry against independently
+        known values: Greenwich summer-solstice noon altitude ~61.9 deg
+        (90 - 51.48 + 23.44), equinox solar noon at the equator near
+        zenith, and a southern-hemisphere sun positioned to the North."""
+        from arkhammirror_spark.operators.sunpos import sun_positions
+
+        rows = [
+            ("greenwich", 51.4778, -0.0014, "2023-06-21 12:02:00"),
+            ("equator", 0.0, 0.0, "2023-03-20 12:07:00"),
+            ("sydney", -33.87, 151.21, "2023-01-15 02:00:00"),
+            ("midnight", 51.4778, -0.0014, "2023-06-21 00:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "pid: string, gps_lat: double, gps_lon: double, ts_s: string"
+        ).select("pid", "gps_lat", "gps_lon",
+                 F.to_timestamp_ntz("ts_s").alias("ts"))
+        got = {r["pid"]: r for r in
+               sun_positions(df).collect()}
+        g = got["greenwich"]
+        assert abs(g["sun_altitude"] - 61.9) < 0.5
+        assert abs(g["sun_azimuth"] - 180.0) < 3.0
+        assert g["sun_above_horizon"] is True
+        assert "high (midday)" in g["interpretation"]
+        assert abs(g["expected_shadow_direction"] - (g["sun_azimuth"] + 180) % 360) < 0.02
+        e = got["equator"]
+        assert e["sun_altitude"] > 88.0
+        s = got["sydney"]
+        assert s["sun_altitude"] > 60.0
+        # southern-hemisphere summer: sun to the north
+        assert s["sun_azimuth"] < 90 or s["sun_azimuth"] > 270
+        m = got["midnight"]
+        assert m["sun_above_horizon"] is False
+        assert m["shadow_length_ratio"] == -424242.0
+        assert m["interpretation"].startswith("Sun is below the horizon")
+
+    def test_shadow_ratio_is_inverse_tan(self, spark):
+        from math import radians, tan
+
+        from arkhammirror_spark.operators.sunpos import sun_positions
+
+        df = spark.createDataFrame(
+            [("x", 40.0, -75.0, "2023-09-01 15:00:00")],
+            "pid: string, gps_lat: double, gps_lon: double, ts_s: string",
+        ).select("pid", "gps_lat", "gps_lon",
+                 F.to_timestamp_ntz("ts_s").alias("ts"))
+        r = sun_positions(df).collect()[0]
+        # ratio computed from the unrounded altitude; compare loosely
+        assert abs(r["shadow_length_ratio"]
+                   - 1.0 / tan(radians(r["sun_altitude"]))) < 0.02
 
 
 class TestCredibilityScoring:
