@@ -367,7 +367,14 @@ def simhash_pairs_from_sigs(
     from itertools import combinations
 
     k = max_hamming
-    b = blocks if blocks is not None else max(k + 3, k + 1)
+    if blocks is None:
+        # narrow signatures (the 16-bit demo width) gain nothing from the
+        # combo scheme — the key space is tiny either way and the output
+        # itself is ~quadratic, so the C(b,3)-way explode only adds cost;
+        # k+1 blocks there is the plain pigeonhole banding
+        b = k + 3 if n_bits >= 32 else k + 1
+    else:
+        b = blocks
     b = min(max(b, k + 1), n_bits)  # widths must be >= 1 bit
     base_w, extra = divmod(n_bits, b)
     widths = [base_w + (1 if i < extra else 0) for i in range(b)]

@@ -133,17 +133,27 @@ def parse_exif_tiff(data: bytes) -> dict[str, object]:
     ifd0 = _read_ifd(data, ifd0_off, endian)
     out: dict[str, object] = {}
     n_tags = len(ifd0)
+
+    def ptr(v):
+        # a corrupt count field can make a pointer tag decode as a list;
+        # treat anything non-scalar-numeric as an absent sub-IFD
+        if isinstance(v, list) and v:
+            v = v[0]
+        return int(v) if isinstance(v, (int, float)) else None
+
     for tag, name in _IFD0_TAGS.items():
         if tag in ifd0:
             out[name] = ifd0[tag]
-    if _EXIF_IFD_PTR in ifd0:
-        sub = _read_ifd(data, int(ifd0[_EXIF_IFD_PTR]), endian)
+    exif_off = ptr(ifd0.get(_EXIF_IFD_PTR)) if _EXIF_IFD_PTR in ifd0 else None
+    if exif_off is not None:
+        sub = _read_ifd(data, exif_off, endian)
         n_tags += len(sub)
         for tag, name in _EXIF_TAGS.items():
             if tag in sub:
                 out[name] = sub[tag]
-    if _GPS_IFD_PTR in ifd0:
-        gps = _read_ifd(data, int(ifd0[_GPS_IFD_PTR]), endian)
+    gps_off = ptr(ifd0.get(_GPS_IFD_PTR)) if _GPS_IFD_PTR in ifd0 else None
+    if gps_off is not None:
+        gps = _read_ifd(data, gps_off, endian)
         n_tags += len(gps)
         lat = gps_to_decimal(gps.get(2), gps.get(1))
         lon = gps_to_decimal(gps.get(4), gps.get(3))

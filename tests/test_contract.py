@@ -1,0 +1,69 @@
+"""Contract-shape guarantees: the external gate checks only the FIRST 50
+`queries()` entries, so the packed contract must stay at <= 50 entries,
+fully oracled, with no NULL-able padding (the gate's row compare sorts
+rows as tuples; None is unorderable against str)."""
+
+from arkhammirror_spark.contract import (
+    MERGES,
+    PROFILE_JOIN,
+    _SENTINEL,
+    build_contract,
+)
+from arkhammirror_spark.queries import ORACLE_SQL, QUERIES
+
+
+def test_contract_fits_the_50_entry_gate():
+    contract, oracles = build_contract()
+    assert len(contract) == 50
+    assert set(contract) == set(oracles)
+
+
+def test_every_part_query_is_served_exactly_once():
+    """Each part-level registry entry is either a survivor in the contract
+    or absorbed by exactly one merged entry — nothing dropped, nothing
+    double-counted."""
+    contract, _ = build_contract()
+    absorbed: list[str] = []
+    for _, parts in MERGES.values():
+        absorbed.extend(src for _, src, _ in parts)
+    absorbed.extend(PROFILE_JOIN[1])
+    assert len(absorbed) == len(set(absorbed)), "a part is absorbed twice"
+    survivors = set(QUERIES) - set(absorbed)
+    assert survivors <= set(contract)
+    # merged names don't shadow an existing part except the deliberate
+    # `mentions` reuse
+    shadowed = (set(MERGES) | {PROFILE_JOIN[0]}) & set(QUERIES)
+    assert shadowed == {"mentions"}
+    # every absorbed part exists in the part registry with an oracle
+    for src in absorbed:
+        assert src in QUERIES and src in ORACLE_SQL, src
+
+
+def test_merge_specs_reference_real_columns():
+    """Every mapped source column must exist in the part oracle's SQL text
+    (cheap textual guard; the rehearsal suite checks values for real)."""
+    for name, (columns, parts) in MERGES.items():
+        out_names = {c for c, _ in columns}
+        for tag, src, mapping in parts:
+            assert set(mapping) <= out_names, (name, tag)
+            for out, src_col in mapping.items():
+                assert src_col.replace("_", "").isalnum(), (name, out)
+
+
+def test_sentinels_cover_every_type_used():
+    for _, (columns, _) in MERGES.items():
+        for _, (styp, _) in columns:
+            assert styp in _SENTINEL, styp
+
+
+def test_merged_oracle_padding_uses_sentinels_not_null():
+    """The generated OUTER projections (everything before each part's
+    subquery) must pad with typed sentinels, never NULL literals — NULLs
+    inside the part oracles themselves (IS NOT NULL predicates, internal
+    CTE columns) are fine and out of scope here; the sf0.01 gate
+    simulation's runtime null audit covers actual output values."""
+    _, oracles = build_contract()
+    for name in MERGES:
+        for segment in oracles[name].split("UNION ALL"):
+            outer = segment.split("FROM (", 1)[0]
+            assert "NULL::" not in outer.upper(), (name, outer[:120])

@@ -123,6 +123,95 @@ class TestContainerMetadata:
         assert sniff_kind(b"hello") == "unknown"
 
 
+class TestMetadataFuzz:
+    def test_tiff_walker_never_crashes_on_mutations(self):
+        """Truncations and random byte flips of a valid EXIF JPEG must
+        either parse (possibly partially) or raise ValueError — never an
+        unhandled struct/index error (the per-row quarantine contract)."""
+        import random
+
+        base = build_jpeg_exif(
+            make="Canon", model="EOS 5D", software="x",
+            datetime_original="2021:06:01 09:00:00", gps=(40.0, -75.0),
+        )
+        rng = random.Random(3)
+        for i in range(200):
+            raw = bytearray(base)
+            if i % 2 == 0:
+                raw = raw[: rng.randrange(2, len(raw))]
+            else:
+                for _ in range(rng.randrange(1, 6)):
+                    raw[rng.randrange(len(raw))] = rng.randrange(256)
+            try:
+                parse_jpeg_metadata(bytes(raw))
+            except ValueError:
+                pass  # quarantine lane
+
+    def test_png_and_pdf_walkers_never_crash_on_mutations(self):
+        import random
+
+        import numpy as np
+
+        from arkhammirror_spark.operators.multimodal import encode_png
+
+        png = add_png_text(
+            encode_png(np.zeros((4, 4, 3), dtype=np.uint8)), {"k": "v"}
+        )
+        pdf = make_pdf_with_info({"Title": "t", "ModDate": "D:20230101090000Z"})
+        rng = random.Random(5)
+        for base in (png, pdf):
+            for i in range(150):
+                raw = bytearray(base)
+                if i % 2 == 0:
+                    raw = raw[: rng.randrange(1, len(raw))]
+                else:
+                    for _ in range(rng.randrange(1, 6)):
+                        raw[rng.randrange(len(raw))] = rng.randrange(256)
+                try:
+                    if bytes(raw[:5]) == b"%PDF-":
+                        parse_pdf_metadata(bytes(raw))
+                    elif bytes(raw[:8]) == b"\x89PNG\r\n\x1a\n":
+                        parse_png_text(bytes(raw))
+                except ValueError:
+                    pass
+
+
+class TestPhashKernels:
+    def test_resample_box_preserves_mean_any_ratio(self):
+        """Box resample is an exact partition of the source area, so the
+        global mean must be preserved for arbitrary (including
+        non-integer-ratio) target sizes."""
+        import numpy as np
+
+        from arkhammirror_spark.operators.phash import resample_box
+
+        rng = np.random.RandomState(11)
+        for _ in range(25):
+            h, w = rng.randint(5, 60), rng.randint(5, 60)
+            nh, nw = rng.randint(2, 40), rng.randint(2, 40)
+            a = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+            r = resample_box(a, nw, nh)
+            assert r.shape == (nh, nw)
+            # weighted mean of target cells equals source mean when cells
+            # are weighted by their source-area share; for uniform grids
+            # target cells cover equal area, so the plain mean matches
+            assert abs(r.mean() - a.mean()) < 1e-7
+
+    def test_hex_long_roundtrip_random_bits(self):
+        import random
+
+        from arkhammirror_spark.operators.phash import _bits_to_hex_and_long
+
+        rng = random.Random(9)
+        for _ in range(100):
+            bits = [rng.random() < 0.5 for _ in range(64)]
+            hx, sig = _bits_to_hex_and_long(bits)
+            assert len(hx) == 16
+            assert int(hx, 16) == sig % (1 << 64)
+            # first bit is the most significant (reference format)
+            assert (int(hx, 16) >> 63) == (1 if bits[0] else 0)
+
+
 class TestEla:
     def test_interpretation_matches_reference_math(self):
         """ela_analyzer.py:114-145 recomputed by hand, incl. the trailing-
