@@ -197,6 +197,33 @@ class TestPhashKernels:
             # target cells cover equal area, so the plain mean matches
             assert abs(r.mean() - a.mean()) < 1e-7
 
+    def test_dct_matrix_matches_direct_definition(self):
+        """The matrix-product 2D DCT must equal the direct O(n^2) DCT-II
+        (orthonormal) definition on random inputs — the scipy-free claim."""
+        import numpy as np
+
+        from arkhammirror_spark.operators.phash import dct_matrix
+
+        rng = np.random.RandomState(4)
+        n = 16
+        p = rng.rand(n, n)
+        d = dct_matrix(n)
+        got = d @ p @ d.T
+
+        def direct(k, l):
+            ck = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+            cl = np.sqrt(1.0 / n) if l == 0 else np.sqrt(2.0 / n)
+            s = 0.0
+            for i in range(n):
+                for j in range(n):
+                    s += (p[i, j]
+                          * np.cos(np.pi * (i + 0.5) * k / n)
+                          * np.cos(np.pi * (j + 0.5) * l / n))
+            return ck * cl * s
+
+        for k, l in [(0, 0), (1, 3), (7, 7), (15, 2), (4, 15)]:
+            assert abs(got[k, l] - direct(k, l)) < 1e-10
+
     def test_hex_long_roundtrip_random_bits(self):
         import random
 
@@ -399,6 +426,27 @@ class TestAchScoring:
         assert h1["evidence_count"] == 3  # N/A still counted (scoring.py:127)
         # ranking: fewer inconsistencies wins regardless of weighted score
         assert got["h2"]["rank"] == 1 and h1["rank"] == 2
+
+    def test_all_na_hypothesis_gets_neutral_defaults(self, spark):
+        """scoring.py:112-119: nothing rated (all N/A) -> weighted 0.0,
+        normalized 50.0; evidence_count still counts the N/A rows."""
+        from arkhammirror_spark.operators.ach import ach_scores
+
+        df = spark.createDataFrame(
+            [("m", "h1", "e1", "N/A", 100, 100, 100),
+             ("m", "h1", "e2", "N/A", 100, 100, 100),
+             ("m", "h2", "e1", "+", 100, 100, 100)],
+            "matrix_id: string, hypothesis_id: string, evidence_id: string, "
+            "rating: string, cred_centi: int, rel_centi: int, conf_centi: int",
+        )
+        got = {r["hypothesis_id"]: r for r in ach_scores(df).collect()}
+        h1 = got["h1"]
+        assert h1["weighted_score"] == 0.0
+        assert h1["normalized_score"] == 50.0
+        assert h1["evidence_count"] == 2
+        assert h1["inconsistency_count"] == 0
+        # both have 0 inconsistencies; h2's weighted 1.0 beats h1's 0.0
+        assert got["h2"]["rank"] == 1
 
     def test_diagnosticity_flags_varying_evidence(self, spark):
         from arkhammirror_spark.operators.ach import diagnosticity
