@@ -366,6 +366,85 @@ def metadata_warnings(kind: str, meta: dict[str, object]) -> list[str]:
     return w
 
 
+# forensics.py:405-565 — per-finding (suspicion increment, confidence)
+_INTEGRITY_RULES = {
+    "exif_minimal": (1, 0.7),
+    "timestamp_inconsistency": (1, 0.8),
+    "editing_software_detected": (0, 1.0),
+    "timestamp_anomaly": (2, 0.95),
+    "pdf_tool_detected": (0, 0.9),
+    "pdf_encrypted": (0, 1.0),
+    "revision_anomaly": (1, 0.7),
+    "high_revision_count": (0, 0.9),
+}
+_FORENSICS_EDITING_TOOLS = ("photoshop", "gimp", "lightroom", "snapseed",
+                            "picasa", "afterlight", "vsco")
+
+
+def _parse_exif_dt(v) -> object:
+    from datetime import datetime
+
+    try:
+        return datetime.strptime(str(v), "%Y:%m:%d %H:%M:%S")
+    except (ValueError, TypeError):
+        return None
+
+
+def analyze_integrity(kind: str, meta: dict[str, object]):
+    """The provenance shard's integrity aggregation
+    (forensics.py:405-565) over this module's parsed fields:
+    findings carry (suspicion increment, confidence); status is TAMPERED at
+    suspicious_count >= 3, SUSPICIOUS at >= 1, else CLEAN; confidence is
+    the mean finding confidence (1.0 with no findings). Returns
+    (status, confidence, [finding_type, ...]). Distinct from
+    `metadata_warnings` (the media-forensics shard's exif_extractor rule
+    set — different thresholds and editing-tool lists)."""
+    findings: list[tuple[str, float]] = []
+    suspicious = 0
+    if kind in ("jpeg", "png"):
+        if int(meta.get("n_exif_tags") or 0) < 5:
+            findings.append(("exif_minimal", 0.7))
+            suspicious += 1
+        orig = _parse_exif_dt(meta.get("datetime_original"))
+        digi = _parse_exif_dt(meta.get("datetime_digitized"))
+        if orig and digi and abs((orig - digi).total_seconds()) > 60:
+            findings.append(("timestamp_inconsistency", 0.8))
+            suspicious += 1
+        software = str(meta.get("software") or "").lower()
+        if any(t in software for t in _FORENSICS_EDITING_TOOLS):
+            findings.append(("editing_software_detected", 1.0))
+    elif kind == "pdf":
+        created, modified = meta.get("created"), meta.get("modified")
+        if created and modified and str(modified) < str(created):
+            findings.append(("timestamp_anomaly", 0.95))
+            suspicious += 2
+        producer = str(meta.get("producer") or "").lower()
+        if any(t in producer for t in ("ghostscript", "pdftk", "pdf-tools",
+                                       "itext", "fpdf", "reportlab")):
+            findings.append(("pdf_tool_detected", 0.9))
+        if meta.get("is_encrypted"):
+            findings.append(("pdf_encrypted", 1.0))
+    elif kind == "ooxml":
+        created, modified = meta.get("created"), meta.get("modified")
+        if created and modified and str(modified) < str(created):
+            findings.append(("timestamp_anomaly", 0.95))
+            suspicious += 2
+        rev = meta.get("revision")
+        if rev == 1 and created and modified and created != modified:
+            findings.append(("revision_anomaly", 0.7))
+            suspicious += 1
+        elif isinstance(rev, int) and rev > 100:
+            findings.append(("high_revision_count", 0.9))
+    if suspicious >= 3:
+        status = "tampered"
+    elif suspicious >= 1:
+        status = "suspicious"
+    else:
+        status = "clean"
+    conf = (sum(c for _, c in findings) / len(findings)) if findings else 1.0
+    return status, conf, [t for t, _ in findings]
+
+
 def sniff_kind(raw: bytes) -> str:
     if raw[:2] == b"\xff\xd8":
         return "jpeg"
@@ -405,6 +484,9 @@ METADATA_SCHEMA = StructType(
         StructField("revision", IntegerType(), True),
         StructField("png_text", StringType(), True),
         StructField("warnings", ArrayType(StringType()), False),
+        StructField("integrity_status", StringType(), False),
+        StructField("integrity_confidence", DoubleType(), False),
+        StructField("integrity_findings", ArrayType(StringType()), False),
         StructField("error", StringType(), True),
     ]
 )
@@ -428,6 +510,9 @@ def extract_media_metadata(
                 row: dict[str, object] = {c: None for c in names}
                 row["media_id"] = mid
                 row["warnings"] = []
+                row["integrity_status"] = "unknown"
+                row["integrity_confidence"] = 0.0
+                row["integrity_findings"] = []
                 try:
                     if payload is None:
                         raise ValueError("empty payload")
@@ -455,6 +540,10 @@ def extract_media_metadata(
                         if k in row and v is not None:
                             row[k] = v
                     row["warnings"] = metadata_warnings(kind, meta)
+                    status, conf, findings = analyze_integrity(kind, meta)
+                    row["integrity_status"] = status
+                    row["integrity_confidence"] = conf
+                    row["integrity_findings"] = findings
                 except Exception as exc:
                     row["kind"] = row.get("kind") or "unknown"
                     row["error"] = f"{type(exc).__name__}: {exc}"

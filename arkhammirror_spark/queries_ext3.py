@@ -199,6 +199,9 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revision", F.lit(-424242)).alias("revision"),
         s("png_text"),
         F.array_join("warnings", "|").alias("warnings"),
+        "integrity_status",
+        F.round("integrity_confidence", 6).alias("integrity_confidence"),
+        F.array_join("integrity_findings", "|").alias("integrity_findings"),
         F.col("error").isNotNull().cast("int").alias("err"),
     )
 
@@ -528,29 +531,38 @@ ORACLE_EXT3["media_metadata"] = """
 SELECT * FROM (VALUES
   ('cam-clean', 'jpeg', 'Nikon', 'D750', '<na>', '2020:01:01 12:00:00',
    -424242.0::DOUBLE, -424242.0::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>',
-   -424242::INTEGER, '<na>', '', 0),
+   -424242::INTEGER, '<na>', '',
+   'clean', 1.0::DOUBLE, '', 0),
   ('cam-full', 'jpeg', 'Canon', 'EOS 5D', 'Adobe Photoshop 24',
    '2021:06:01 09:00:00', 40.446195::DOUBLE, -79.982195::DOUBLE, '<na>', '<na>',
    '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>',
-   'EDITING_SOFTWARE|TIMESTAMP_MISMATCH|DIGITIZED_MISMATCH', 0),
+   'EDITING_SOFTWARE|TIMESTAMP_MISMATCH|DIGITIZED_MISMATCH',
+   'clean', 1.0::DOUBLE, 'editing_software_detected', 0),
   ('gps-anon', 'jpeg', '<na>', '<na>', '<na>', '<na>', 48.8584::DOUBLE,
    2.2945::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>',
-   'NO_CAMERA|GPS_NO_CAMERA', 0),
+   'NO_CAMERA|GPS_NO_CAMERA',
+   'clean', 1.0::DOUBLE, '', 0),
   ('junk', 'jpeg', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE, '<na>',
-   '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', '', 1),
+   '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', '',
+   'unknown', 0.0::DOUBLE, '', 1),
   ('memo-docx', 'ooxml', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
    'Q3 Notes', 'Bob', '<na>', '2022-03-01T10:00:00', '2022-04-01T10:00:00',
-   'Carol', 1, '<na>', 'REVISION_ANOMALY', 0),
+   'Carol', 1, '<na>', 'REVISION_ANOMALY',
+   'suspicious', 0.7::DOUBLE, 'revision_anomaly', 0),
   ('rep-pdf', 'pdf', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
    'Report (v2)', 'A. Analyst', 'GPL Ghostscript 9.0', '2023-05-10T12:00:00',
    '2023-01-01T09:00:00', '<na>', -424242::INTEGER, '<na>',
-   'TIMESTAMP_ANOMALY|PDF_TOOL_DETECTED', 0),
+   'TIMESTAMP_ANOMALY|PDF_TOOL_DETECTED',
+   'suspicious', 0.925::DOUBLE, 'timestamp_anomaly|pdf_tool_detected', 0),
   ('shot-png', 'png', '<na>', '<na>', 'gimp 2.10', '<na>', -424242.0::DOUBLE,
    -424242.0::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER,
-   'Comment=fixture;Software=gimp 2.10', '', 0),
+   'Comment=fixture;Software=gimp 2.10', '',
+   'suspicious', 0.85::DOUBLE, 'exif_minimal|editing_software_detected', 0),
   ('stripped', 'jpeg', '<na>', '<na>', '<na>', '<na>', -424242.0::DOUBLE, -424242.0::DOUBLE,
-   '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', 'NO_EXIF', 0)
+   '<na>', '<na>', '<na>', '<na>', '<na>', '<na>', -424242::INTEGER, '<na>', 'NO_EXIF',
+   'suspicious', 0.7::DOUBLE, 'exif_minimal', 0)
 ) AS fx(media_id, kind, make, model, software, datetime_original, gps_lat,
         gps_lon, title, author, producer, created, modified,
-        last_modified_by, revision, png_text, warnings, err)
+        last_modified_by, revision, png_text, warnings, integrity_status,
+        integrity_confidence, integrity_findings, err)
 """

@@ -239,6 +239,96 @@ class TestCredibilityDifferential:
             ).value
 
 
+@pytest.fixture(scope="module")
+def forensics_ref():
+    base = f"{REF}/arkham-shard-provenance/arkham_shard_provenance"
+    models = _load("arkham_shard_provenance.models", f"{base}/models.py")
+    sys.modules["arkham_shard_provenance"].models = models
+    forensics = _load(
+        "arkham_shard_provenance.forensics", f"{base}/forensics.py"
+    )
+    return models, forensics
+
+
+class TestIntegrityDifferential:
+    def test_analyze_integrity_matches_reference(self, forensics_ref):
+        """Randomized metadata states through the ACTUAL
+        forensics.analyze_integrity vs this repo's port — status string,
+        confidence, and finding-type sequence must agree."""
+        import datetime as dt
+
+        from arkhammirror_spark.operators.media_metadata import (
+            analyze_integrity,
+        )
+
+        models, forensics = forensics_ref
+        analyzer = forensics.MetadataForensicAnalyzer()
+        rng = random.Random(41)
+        softwares = [None, "darktable", "Adobe Photoshop", "gimp 2.10"]
+        producers = [None, "LaTeX", "GPL Ghostscript", "pdftk server"]
+
+        for _ in range(40):
+            lane = rng.choice(["exif", "pdf", "office"])
+            if lane == "exif":
+                n_tags = rng.choice([0, 3, 8])
+                orig = dt.datetime(2021, 6, 1, 9, 0, 0)
+                delta = rng.choice([0, 30, 3600])
+                digi = orig + dt.timedelta(seconds=delta)
+                sw = rng.choice(softwares)
+                exif = models.ExifData(
+                    datetime_original=orig, datetime_digitized=digi,
+                    software=sw,
+                    raw_data={f"t{i}": i for i in range(n_tags)},
+                )
+                status, findings, conf = analyzer.analyze_integrity(exif=exif)
+                meta = {
+                    "n_exif_tags": n_tags,
+                    "datetime_original": orig.strftime("%Y:%m:%d %H:%M:%S"),
+                    "datetime_digitized": digi.strftime("%Y:%m:%d %H:%M:%S"),
+                    "software": sw,
+                }
+                mine = analyze_integrity("jpeg", meta)
+            elif lane == "pdf":
+                created = dt.datetime(2023, 5, 10, 12, 0, 0)
+                modified = created + dt.timedelta(
+                    days=rng.choice([-100, 0, 100])
+                )
+                prod = rng.choice(producers)
+                enc = rng.random() < 0.3
+                pdf = models.PdfMetadata(
+                    creation_date=created, modification_date=modified,
+                    producer=prod, is_encrypted=enc,
+                )
+                status, findings, conf = analyzer.analyze_integrity(pdf=pdf)
+                meta = {
+                    "created": created.isoformat(),
+                    "modified": modified.isoformat(),
+                    "producer": prod, "is_encrypted": enc,
+                }
+                mine = analyze_integrity("pdf", meta)
+            else:
+                created = dt.datetime(2022, 3, 1, 10, 0, 0)
+                modified = created + dt.timedelta(
+                    days=rng.choice([-30, 0, 30])
+                )
+                rev = rng.choice([None, 1, 5, 150])
+                office = models.OfficeMetadata(
+                    created=created, modified=modified, revision=rev,
+                )
+                status, findings, conf = analyzer.analyze_integrity(
+                    office=office
+                )
+                meta = {
+                    "created": created.isoformat(),
+                    "modified": modified.isoformat(),
+                    "revision": rev,
+                }
+                mine = analyze_integrity("ooxml", meta)
+            assert mine[0] == status.value, (lane, meta)
+            assert abs(mine[1] - conf) < 1e-12, (lane, meta)
+            assert mine[2] == [f.finding_type for f in findings], (lane, meta)
+
+
 class TestPhashHelpersDifferential:
     def test_hex_pack_and_hamming_match_reference(self, phash_ref):
         from arkhammirror_spark.operators.phash import (
