@@ -168,7 +168,11 @@ MERGES: dict[str, tuple[list, list]] = {
          ("max_error", _D), ("uniformity_score", _D), ("assessment", _S),
          ("err", _I), ("sun_altitude", _D), ("sun_azimuth", _D),
          ("expected_shadow_direction", _D), ("shadow_length_ratio", _D),
-         ("sun_above_horizon", _BO), ("interpretation", _S)],
+         ("sun_above_horizon", _BO), ("interpretation", _S),
+         ("event_type", _S), ("event_ts", _S), ("event_source", _S),
+         ("event_actor", _S), ("id_b", _S), ("relationship_type", _S),
+         ("match_score", _D), ("rel_confidence", _D),
+         ("similarity_types", _S)],
         [("ela", "ela_metrics",
           {"media_id": "media_id", "mean_error": "mean_error",
            "std_error": "std_error", "max_error": "max_error",
@@ -180,7 +184,16 @@ MERGES: dict[str, tuple[list, list]] = {
            "expected_shadow_direction": "expected_shadow_direction",
            "shadow_length_ratio": "shadow_length_ratio",
            "sun_above_horizon": "sun_above_horizon",
-           "interpretation": "interpretation"})],
+           "interpretation": "interpretation"}),
+         ("timeline", "metadata_timeline",
+          {"media_id": "media_id", "event_type": "event_type",
+           "event_ts": "event_ts", "event_source": "event_source",
+           "event_actor": "event_actor"}),
+         ("relationships", "metadata_relationships",
+          {"media_id": "id_a", "id_b": "id_b",
+           "relationship_type": "relationship_type",
+           "match_score": "match_score", "rel_confidence": "confidence",
+           "similarity_types": "similarity_types"})],
     ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),

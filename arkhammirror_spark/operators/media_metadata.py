@@ -45,7 +45,8 @@ from pyspark.sql.types import (
 
 _IFD0_TAGS = {0x010F: "make", 0x0110: "model", 0x0131: "software",
               0x0132: "datetime_modified", 0x0112: "orientation"}
-_EXIF_TAGS = {0x9003: "datetime_original", 0x9004: "datetime_digitized"}
+_EXIF_TAGS = {0x9003: "datetime_original", 0x9004: "datetime_digitized",
+              0xA431: "serial_number"}
 _EXIF_IFD_PTR = 0x8769
 _GPS_IFD_PTR = 0x8825
 
@@ -467,6 +468,7 @@ METADATA_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("make", StringType(), True),
         StructField("model", StringType(), True),
+        StructField("serial_number", StringType(), True),
         StructField("software", StringType(), True),
         StructField("orientation", IntegerType(), True),
         StructField("datetime_original", StringType(), True),
@@ -477,6 +479,7 @@ METADATA_SCHEMA = StructType(
         StructField("gps_alt", DoubleType(), True),
         StructField("title", StringType(), True),
         StructField("author", StringType(), True),
+        StructField("creator", StringType(), True),
         StructField("producer", StringType(), True),
         StructField("created", StringType(), True),
         StructField("modified", StringType(), True),
@@ -628,6 +631,7 @@ def build_jpeg_exif(
     datetime_original: str | None = None,
     datetime_digitized: str | None = None,
     gps: tuple[float, float] | None = None,
+    serial_number: str | None = None,
     no_exif: bool = False,
 ) -> bytes:
     """Minimal JPEG whose APP1 segment carries the requested EXIF — the
@@ -648,6 +652,8 @@ def build_jpeg_exif(
         exif[0x9003] = (2, datetime_original)
     if datetime_digitized:
         exif[0x9004] = (2, datetime_digitized)
+    if serial_number:
+        exif[0xA431] = (2, serial_number)
     gps_ifd: dict[int, tuple] = {}
     if gps:
         lat, lon = gps

@@ -263,6 +263,107 @@ def q_ela_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Provenance analytics (provenance/forensics.py:567-808): document
+# timeline + blocked-join metadata relationships over a fixture with
+# shared cameras/serials/authors so every similarity key and precedence
+# branch fires.
+# ---------------------------------------------------------------------------
+
+
+def _provenance_fixture(spark: SparkSession) -> DataFrame:
+    from .operators.media_metadata import (
+        build_jpeg_exif,
+        extract_media_metadata,
+        make_docx_with_core,
+        make_pdf_with_info,
+    )
+
+    rows = [
+        ("j1", build_jpeg_exif(
+            make="Canon", model="EOS", serial_number="SN-1",
+            datetime_original="2021:06:01 09:00:00",
+            datetime_digitized="2021:06:01 09:00:00",
+            datetime_modified="2021:06:02 10:00:00", software="gimp")),
+        ("j2", build_jpeg_exif(make="Canon", model="EOS",
+                               serial_number="SN-1")),
+        ("j3", build_jpeg_exif(make="Nikon", model="D750")),
+        ("p1", make_pdf_with_info(
+            {"Author": "Alice", "Creator": "Word",
+             "CreationDate": "D:20230101090000Z",
+             "ModDate": "D:20230102090000Z"})),
+        ("p2", make_pdf_with_info(
+            {"Author": "Alice", "Creator": "Word",
+             "CreationDate": "D:20230301090000Z"})),
+        ("d1", make_docx_with_core(
+            ["x"], author="Alice", created="2022-03-01T10:00:00",
+            modified="2022-03-01T10:00:00", last_modified_by="Bob")),
+    ]
+    media = spark.createDataFrame(rows, "media_id: string, payload: binary")
+    # slim checkpoint: BOTH provenance queries and the relationships
+    # self-joins would otherwise re-run the container-walk Arrow pass
+    return extract_media_metadata(media).localCheckpoint(eager=True)
+
+
+@register("metadata_timeline", None)  # oracle (VALUES) attached below
+def q_metadata_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document timeline reconstruction (forensics.py:567-675): one row
+    per populated timestamp field with the reference's suppression rules
+    (digitized == original dropped, modified == created dropped)."""
+    from .operators.provenance import metadata_timeline
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = metadata_timeline(_provenance_fixture(spark))
+    return out.select(
+        "media_id", "event_type", "event_ts", "event_source",
+        F.coalesce("event_actor", F.lit("<na>")).alias("event_actor"),
+    )
+
+
+@register("metadata_relationships", None)  # oracle (VALUES) attached below
+def q_metadata_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-based document relationships (forensics.py:677-808) as
+    blocked equi-joins on each similarity key — the fixture exercises
+    same_camera-beats-same_device precedence, multi-similarity match
+    scores, and author blocking across pdf/office lanes."""
+    from .operators.provenance import metadata_relationships
+    from .shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out = metadata_relationships(_provenance_fixture(spark))
+    return out.select(
+        "id_a", "id_b", "relationship_type",
+        F.round("match_score", 6).alias("match_score"),
+        "confidence",
+        F.array_join("similarity_types", "|").alias("similarity_types"),
+    )
+
+
+ORACLE_EXT3["metadata_timeline"] = """
+SELECT * FROM (VALUES
+  ('d1', 'created', '2022-03-01T10:00:00', 'office', 'Alice'),
+  ('j1', 'captured', '2021:06:01 09:00:00', 'exif', 'Canon EOS'),
+  ('j1', 'modified', '2021:06:02 10:00:00', 'exif', 'gimp'),
+  ('p1', 'created', '2023-01-01T09:00:00', 'pdf', 'Word'),
+  ('p1', 'modified', '2023-01-02T09:00:00', 'pdf', '<na>'),
+  ('p2', 'created', '2023-03-01T09:00:00', 'pdf', 'Word')
+) AS fx(media_id, event_type, event_ts, event_source, event_actor)
+"""
+
+ORACLE_EXT3["metadata_relationships"] = """
+SELECT * FROM (VALUES
+  ('d1', 'p1', 'same_author', 0.8::DOUBLE, 0.6::DOUBLE, 'same_author'),
+  ('d1', 'p2', 'same_author', 0.8::DOUBLE, 0.6::DOUBLE, 'same_author'),
+  ('j1', 'j2', 'same_camera', 0.945::DOUBLE, 0.7::DOUBLE,
+   'same_camera|same_device'),
+  ('p1', 'p2', 'same_author', 0.65::DOUBLE, 0.6::DOUBLE,
+   'same_author|same_creator_software')
+) AS fx(id_a, id_b, relationship_type, match_score, confidence,
+        similarity_types)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sun-position verification (media_forensics/services/sun_position.py
 # :38-127) — zero-Python NOAA solar geometry; pinned VALUES oracle (trig
 # libm differs between the JVM and DuckDB, so values pin at the

@@ -329,6 +329,113 @@ class TestIntegrityDifferential:
             assert mine[2] == [f.finding_type for f in findings], (lane, meta)
 
 
+class TestProvenanceDifferential:
+    def test_timeline_matches_reference(self, spark, forensics_ref):
+        """build_timeline (forensics.py:567-675) vs the Spark
+        metadata_timeline on equivalent states: same (event_type, ts,
+        source, actor) multiset incl. the equal-timestamp suppressions."""
+        import datetime as dt
+
+        from arkhammirror_spark.operators.media_metadata import (
+            METADATA_SCHEMA,
+        )
+        from arkhammirror_spark.operators.provenance import metadata_timeline
+
+        models, forensics = forensics_ref
+        analyzer = forensics.MetadataForensicAnalyzer()
+
+        orig = dt.datetime(2021, 6, 1, 9, 0, 0)
+        exif = models.ExifData(
+            make="Canon", model="EOS", software="gimp",
+            datetime_original=orig, datetime_digitized=orig,
+            datetime_modified=dt.datetime(2021, 6, 2, 10, 0, 0),
+        )
+        ref_events = analyzer.build_timeline("j1", exif=exif)
+        ref = sorted(
+            (e.event_type, e.event_source, e.event_actor)
+            for e in ref_events
+        )
+
+        row = {f.name: None for f in METADATA_SCHEMA.fields}
+        row.update(
+            media_id="j1", kind="jpeg", make="Canon", model="EOS",
+            software="gimp",
+            datetime_original="2021:06:01 09:00:00",
+            datetime_digitized="2021:06:01 09:00:00",
+            datetime_modified="2021:06:02 10:00:00",
+            warnings=[], integrity_status="clean",
+            integrity_confidence=1.0, integrity_findings=[],
+        )
+        meta = spark.createDataFrame([row], METADATA_SCHEMA)
+        mine = sorted(
+            (r["event_type"], r["event_source"], r["event_actor"])
+            for r in metadata_timeline(meta).collect()
+        )
+        assert mine == ref  # digitized suppressed on both sides
+
+    def test_relationships_match_reference_pairwise(self, spark, forensics_ref):
+        """compare_documents (forensics.py:677-808) on every fixture pair
+        vs the blocked-join operator: identical relationship type,
+        confidence, and match score for every RELATED pair (the operator
+        never emits unrelated pairs — they are the complement)."""
+        from arkhammirror_spark.operators.media_metadata import (
+            METADATA_SCHEMA,
+        )
+        from arkhammirror_spark.operators.provenance import (
+            metadata_relationships,
+        )
+
+        models, forensics = forensics_ref
+        analyzer = forensics.MetadataForensicAnalyzer()
+
+        def scan(doc_id, exif=None, pdf=None):
+            return models.MetadataForensicScan(
+                id=doc_id, doc_id=doc_id, exif_data=exif, pdf_metadata=pdf
+            )
+
+        scans = {
+            "j1": scan("j1", exif=models.ExifData(
+                make="Canon", model="EOS", serial_number="SN-1")),
+            "j2": scan("j2", exif=models.ExifData(
+                make="Canon", model="EOS", serial_number="SN-1")),
+            "j3": scan("j3", exif=models.ExifData(make="Nikon", model="D750")),
+            "p1": scan("p1", pdf=models.PdfMetadata(
+                author="Alice", creator="Word")),
+            "p2": scan("p2", pdf=models.PdfMetadata(
+                author="Alice", creator="Word")),
+        }
+        ids = sorted(scans)
+        ref = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cmp_ = analyzer.compare_documents(scans[a], scans[b])
+                if cmp_.relationship_type.value != "unrelated":
+                    ref[(a, b)] = (cmp_.relationship_type.value,
+                                   cmp_.confidence,
+                                   round(cmp_.match_score, 9))
+
+        rows = []
+        for doc_id, s in scans.items():
+            row = {f.name: None for f in METADATA_SCHEMA.fields}
+            row.update(media_id=doc_id, warnings=[],
+                       integrity_status="clean", integrity_confidence=1.0,
+                       integrity_findings=[])
+            if s.exif_data:
+                row.update(kind="jpeg", make=s.exif_data.make,
+                           model=s.exif_data.model,
+                           serial_number=s.exif_data.serial_number)
+            else:
+                row.update(kind="pdf", author=s.pdf_metadata.author,
+                           creator=s.pdf_metadata.creator)
+            rows.append(row)
+        meta = spark.createDataFrame(rows, METADATA_SCHEMA)
+        mine = {(r["id_a"], r["id_b"]): (r["relationship_type"],
+                                         r["confidence"],
+                                         round(r["match_score"], 9))
+                for r in metadata_relationships(meta).collect()}
+        assert mine == ref
+
+
 class TestPhashHelpersDifferential:
     def test_hex_pack_and_hamming_match_reference(self, phash_ref):
         from arkhammirror_spark.operators.phash import (
