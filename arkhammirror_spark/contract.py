@@ -195,6 +195,39 @@ MERGES: dict[str, tuple[list, list]] = {
            "match_score": "match_score", "rel_confidence": "confidence",
            "similarity_types": "similarity_types"})],
     ),
+    "credibility_analysis": (
+        [("source_id", _B), ("cred_score", _I), ("cred_level", _S),
+         ("deception_score", _I), ("risk_level", _S),
+         ("n_assessments", _B), ("avg_score", _D), ("latest_score", _B),
+         ("min_score", _B), ("max_score", _B), ("score_trend", _S)],
+        [("scores", "credibility_scores",
+          {"source_id": "source_id", "cred_score": "cred_score",
+           "cred_level": "cred_level", "deception_score": "deception_score",
+           "risk_level": "risk_level"}),
+         ("trend", "credibility_trend",
+          {"source_id": "source_id", "n_assessments": "n_assessments",
+           "avg_score": "avg_score", "latest_score": "latest_score",
+           "min_score": "min_score", "max_score": "max_score",
+           "score_trend": "score_trend"})],
+    ),
+    "ach_analysis": (
+        [("matrix_id", _S), ("hypothesis_id", _S),
+         ("consistency_score", _B), ("inconsistency_count", _B),
+         ("weighted_score", _D), ("normalized_score", _D),
+         ("evidence_count", _B), ("rank", _I), ("evidence_id", _S),
+         ("variance", _D), ("mean_consistency", _D), ("rating_count", _B)],
+        [("scores", "ach_scores",
+          {"matrix_id": "matrix_id", "hypothesis_id": "hypothesis_id",
+           "consistency_score": "consistency_score",
+           "inconsistency_count": "inconsistency_count",
+           "weighted_score": "weighted_score",
+           "normalized_score": "normalized_score",
+           "evidence_count": "evidence_count", "rank": "rank"}),
+         ("diagnosticity", "ach_diagnosticity",
+          {"matrix_id": "matrix_id", "evidence_id": "evidence_id",
+           "variance": "variance", "mean_consistency": "mean_consistency",
+           "rating_count": "rating_count"})],
+    ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),
          ("f_std", _D), ("f_min", _D), ("f_max", _D), ("f_median", _D),

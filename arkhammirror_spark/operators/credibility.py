@@ -93,6 +93,61 @@ def checklist_scores(indicators: DataFrame) -> DataFrame:
     )
 
 
+def credibility_trend(assessments: DataFrame) -> DataFrame:
+    """(source_id, seq, score) -> per-source history aggregate: the
+    reference's get_credibility_history math (shard.py:560-592). seq 0 is
+    the MOST RECENT assessment (the reference's list order).
+
+    trend: with >= 3 assessments, recent = mean of seq 0-2, older = mean
+    of the last 3 by seq; improving when recent > older + 10, declining
+    when recent < older - 10, else volatile when the population variance
+    of ALL scores exceeds 400, else stable (< 3 assessments -> stable).
+
+    Numeric discipline: means compare via 3x-scaled integer sums (the
+    +-10 thresholds become +-30 on sums — exact BIGINT, no float mean);
+    the variance test n*sum(s^2) - (sum s)^2 > 400*n^2 is the float
+    definition cleared of denominators — exact BIGINT again, so the
+    DuckDB mirror cannot drift. Reported avg_score is one double division
+    rounded to 6."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source_id")
+    with_n = assessments.withColumn("_n", F.count(F.lit(1)).over(w))
+    agg = with_n.groupBy("source_id").agg(
+        F.max("_n").alias("n_assessments"),
+        F.sum("score").alias("_s1"),
+        F.sum(F.col("score") * F.col("score")).alias("_s2"),
+        F.sum(F.when(F.col("seq") <= 2, F.col("score")).otherwise(0)).alias(
+            "_recent3"
+        ),
+        F.sum(
+            F.when(F.col("seq") >= F.col("_n") - 3, F.col("score")).otherwise(0)
+        ).alias("_older3"),
+        F.max(F.when(F.col("seq") == 0, F.col("score"))).alias("latest_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+    n = F.col("n_assessments")
+    var_num = n * F.col("_s2") - F.col("_s1") * F.col("_s1")  # n^2 * variance
+    trend = F.when(n < 3, "stable").otherwise(
+        F.when(F.col("_recent3") > F.col("_older3") + 30, "improving")
+        .when(F.col("_recent3") < F.col("_older3") - 30, "declining")
+        .when(var_num > 400 * n * n, "volatile")
+        .otherwise("stable")
+    )
+    return agg.select(
+        "source_id",
+        "n_assessments",
+        F.round(F.col("_s1").cast("double") / n.cast("double"), 6).alias(
+            "avg_score"
+        ),
+        "latest_score",
+        "min_score",
+        "max_score",
+        trend.alias("score_trend"),
+    )
+
+
 def deception_overall(per_checklist: DataFrame) -> DataFrame:
     """(source_id, checklist in {mom,pop,moses,eve}, score) ->
     (source_id, deception_score, risk_level).

@@ -540,15 +540,76 @@ FROM cred JOIN overall ON cred.source_id = overall.source_id
 
 
 # ---------------------------------------------------------------------------
+# Credibility history trend (credibility/shard.py:560-592): per-source
+# assessment sequences with improving/declining/volatile/stable
+# classification; means and the variance gate are exact integer-sum
+# comparisons so the DuckDB mirror cannot drift.
+# ---------------------------------------------------------------------------
+
+
+@register("credibility_trend", None)  # oracle below
+def q_credibility_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.credibility import credibility_trend
+    from .queries import _load
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 10 < 3
+    )
+    i = F.col("i")
+    # per-source assessment count 1..6 varies with doc_id (the <3 branch
+    # must fire); seq 0 = most recent; scores arithmetic-derived
+    assessments = docs.select(
+        F.col("doc_id").alias("source_id"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 6).cast("int"))
+        ).alias("i"),
+    ).select(
+        "source_id",
+        i.alias("seq"),
+        ((F.col("source_id") * (i + 3) + i * 17) % 101).alias("score"),
+    )
+    return credibility_trend(assessments)
+
+
+ORACLE_EXT3["credibility_trend"] = """
+WITH src AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 3),
+seqs AS (
+  SELECT doc_id AS source_id, unnest(generate_series(0, (doc_id % 6)::INT)) AS seq
+  FROM src),
+a AS (
+  SELECT source_id, seq, (source_id * (seq + 3) + seq * 17) % 101 AS score
+  FROM seqs),
+counted AS (
+  SELECT source_id, COUNT(*) AS n, SUM(score) AS s1,
+         SUM(score * score) AS s2,
+         SUM(CASE WHEN seq <= 2 THEN score ELSE 0 END) AS recent3,
+         MAX(CASE WHEN seq = 0 THEN score END) AS latest_score,
+         MIN(score) AS min_score, MAX(score) AS max_score
+  FROM a GROUP BY source_id),
+older AS (
+  SELECT a.source_id,
+         SUM(CASE WHEN a.seq >= c.n - 3 THEN a.score ELSE 0 END) AS older3
+  FROM a JOIN counted c ON a.source_id = c.source_id
+  GROUP BY a.source_id)
+SELECT c.source_id, c.n::BIGINT AS n_assessments,
+       round(c.s1::DOUBLE / c.n::DOUBLE, 6) AS avg_score,
+       c.latest_score, c.min_score, c.max_score,
+       CASE WHEN c.n < 3 THEN 'stable'
+            WHEN c.recent3 > o.older3 + 30 THEN 'improving'
+            WHEN c.recent3 < o.older3 - 30 THEN 'declining'
+            WHEN c.n * c.s2 - c.s1 * c.s1 > 400 * c.n * c.n THEN 'volatile'
+            ELSE 'stable' END AS score_trend
+FROM counted c JOIN older o ON c.source_id = o.source_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ACH consistency-matrix scoring (ach/scoring.py:20-129) — three synthetic
 # matrices scored in one keyed pass; full SQL mirror.
 # ---------------------------------------------------------------------------
 
 
-@register("ach_scores", None)  # oracle below
-def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ach import ach_scores
-
+def _ach_ratings(spark: SparkSession) -> DataFrame:
     m, h, e = F.col("m"), F.col("h"), F.col("e")
     base = (
         spark.range(3)
@@ -556,7 +617,7 @@ def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("h"))
         .select("m", "h", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("e"))
     )
-    ratings = base.select(
+    return base.select(
         F.concat(F.lit("mx"), m).alias("matrix_id"),
         F.concat(F.lit("h"), h).alias("hypothesis_id"),
         F.concat(F.lit("e"), e).alias("evidence_id"),
@@ -568,7 +629,13 @@ def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(50) + (e * 11 + h) % 51).alias("rel_centi"),
         (F.lit(60) + ((h + e + m) % 5) * 10).alias("conf_centi"),
     )
-    out = ach_scores(ratings)
+
+
+@register("ach_scores", None)  # oracle below
+def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ach import ach_scores
+
+    out = ach_scores(_ach_ratings(spark))
     return out.select(
         "matrix_id", "hypothesis_id",
         F.col("consistency_score").cast("long").alias("consistency_score"),
@@ -578,6 +645,56 @@ def q_ach_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("evidence_count").cast("long").alias("evidence_count"),
         "rank",
     )
+
+
+@register("ach_diagnosticity", None)  # oracle below
+def q_ach_diagnosticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnosticity report (scoring.py:131-182): evidence whose ratings
+    VARY across hypotheses differentiates them — population variance of
+    rating scores per evidence row, kept when > 0.5 over >= 2 rated
+    hypotheses. Same synthetic matrices as ach_scores."""
+    from .operators.ach import diagnosticity
+
+    out = diagnosticity(_ach_ratings(spark))
+    return out.select(
+        "matrix_id", "evidence_id",
+        F.round("variance", 6).alias("variance"),
+        F.round("mean_consistency", 6).alias("mean_consistency"),
+        F.col("rating_count").cast("long").alias("rating_count"),
+    )
+
+
+ORACLE_EXT3["ach_diagnosticity"] = """
+WITH ms AS (SELECT unnest(generate_series(0, 2)) AS m),
+hs AS (SELECT unnest(generate_series(0, 3)) AS h),
+es AS (SELECT unnest(generate_series(0, 7)) AS e),
+ratings AS (
+  SELECT 'mx' || m AS matrix_id, 'e' || e AS evidence_id,
+         list_extract(['++', '+', 'N', '-', '--', 'N/A'],
+                      ((m * 3 + h * 7 + e * 5) % 6 + 1)::INT) AS rating
+  FROM ms, hs, es),
+scored AS (
+  SELECT matrix_id, evidence_id,
+         SUM(CASE WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                  WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+                  ELSE -2 END) AS s1,
+         SUM(CASE WHEN rating = '++' THEN 4 WHEN rating = '+' THEN 1
+                  WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN 1
+                  ELSE 4 END) AS s2,
+         COUNT(*) AS n
+  FROM ratings WHERE rating != 'N/A'
+  GROUP BY matrix_id, evidence_id),
+finals AS (
+  SELECT matrix_id, evidence_id,
+         (s2::DOUBLE / n::DOUBLE)
+           - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS variance,
+         s1::DOUBLE / n::DOUBLE AS mean_consistency, n
+  FROM scored WHERE n >= 2)
+SELECT matrix_id, evidence_id, round(variance, 6) AS variance,
+       round(mean_consistency, 6) AS mean_consistency,
+       n::BIGINT AS rating_count
+FROM finals WHERE variance > 0.5
+"""
 
 
 ORACLE_EXT3["ach_scores"] = """

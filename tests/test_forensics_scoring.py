@@ -378,6 +378,42 @@ class TestCredibilityScoring:
         # reference: total = 100*1.0 + 50*0.8 = 140; n_assessed = 2
         assert got["score"] == int(140 / 200 * 100) == 70
 
+    def test_trend_classification_branches(self, spark):
+        """shard.py:560-592: improving/declining/volatile/stable with the
+        <3-assessments stable default; seq 0 is most recent."""
+        from arkhammirror_spark.operators.credibility import credibility_trend
+
+        rows = []
+        # improving: recent (90,90,90) vs older (10,10,10)
+        for seq, s in enumerate([90, 90, 90, 10, 10, 10]):
+            rows.append(("up", seq, s))
+        # declining: mirror
+        for seq, s in enumerate([10, 10, 10, 90, 90, 90]):
+            rows.append(("down", seq, s))
+        # volatile: flat means but variance > 400 (spread 0/100)
+        for seq, s in enumerate([0, 100, 50, 0, 100, 50]):
+            rows.append(("wild", seq, s))
+        # stable: tight spread
+        for seq, s in enumerate([50, 52, 48, 51, 49, 50]):
+            rows.append(("calm", seq, s))
+        # short history -> stable regardless of shape
+        rows += [("short", 0, 100), ("short", 1, 0)]
+        df = spark.createDataFrame(
+            rows, "source_id: string, seq: int, score: int"
+        )
+        got = {r["source_id"]: r for r in credibility_trend(df).collect()}
+        assert got["up"]["score_trend"] == "improving"
+        assert got["down"]["score_trend"] == "declining"
+        assert got["wild"]["score_trend"] == "volatile"
+        assert got["calm"]["score_trend"] == "stable"
+        assert got["short"]["score_trend"] == "stable"
+        assert got["up"]["latest_score"] == 90
+        assert got["up"]["n_assessments"] == 6
+        assert abs(got["up"]["avg_score"] - 50.0) < 1e-9
+        # reference math check: variance of wild = 1666.67 > 400
+        ref_var = sum((s - 50) ** 2 for s in [0, 100, 50, 0, 100, 50]) / 6
+        assert ref_var > 400
+
     def test_overall_weights_and_risk(self, spark):
         from arkhammirror_spark.operators.credibility import deception_overall
 
