@@ -1651,7 +1651,12 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(F.lit("http://"), base, F.lit("/")))
         .otherwise(F.concat(F.lit("http://"), base, F.lit("?utm_a=1&utm_b=2")))
     )
-    return dedup_canonical_urls(d.select(url.alias("url")))
+    # Contract transport: the gate's pandas row-sort comparator cannot
+    # order list cells (unhashable) — serialize the variant array to a
+    # '|'-joined string. The operator itself keeps the typed array.
+    return dedup_canonical_urls(d.select(url.alias("url"))).withColumn(
+        "variant_urls", F.array_join("variant_urls", "|")
+    )
 
 
 def _canon_sql(u: str) -> str:
@@ -1696,7 +1701,7 @@ WITH derived AS (
 canon AS (SELECT url, trim(url) AS u0 FROM derived),
 c AS (SELECT url, {_canon_sql('u0')} AS canonical_url FROM canon)
 SELECT canonical_url, min(url) AS keeper_url, count(*)::BIGINT AS n_variants,
-       list_sort(list_distinct(list(url))) AS variant_urls
+       array_to_string(list_sort(list_distinct(list(url))), '|') AS variant_urls
 FROM c GROUP BY 1
 """
 

@@ -1,7 +1,15 @@
 """Contract-shape guarantees: the external gate checks only the FIRST 50
 `queries()` entries, so the packed contract must stay at <= 50 entries,
 fully oracled, with no NULL-able padding (the gate's row compare sorts
-rows as tuples; None is unorderable against str)."""
+rows as tuples; None is unorderable against str) and no array/map/struct
+columns (the gate's pandas row-sort comparator factorizes cells; a list
+cell raises `unhashable type: 'list'` — measured on canonical_urls in
+round 4)."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
 
 from arkhammirror_spark.contract import (
     MERGES,
@@ -67,3 +75,23 @@ def test_merged_oracle_padding_uses_sentinels_not_null():
         for segment in oracles[name].split("UNION ALL"):
             outer = segment.split("FROM (", 1)[0]
             assert "NULL::" not in outer.upper(), (name, outer[:120])
+
+
+_CONTRACT, _ = build_contract()
+_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("name", sorted(_CONTRACT))
+def test_no_unorderable_column_types(spark, name):
+    """Every contract output column must be a flat orderable scalar: the
+    gate transports results through a pandas row-sort whose factorizer
+    dies on list/dict cells (round-4 canonical_urls failure). Schema
+    analysis only — nothing is executed."""
+    schema = _CONTRACT[name](spark, _SF_DIR).schema
+    banned = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    for f in schema.fields:
+        assert not isinstance(f.dataType, banned), (
+            f"{name}.{f.name}: {f.dataType.simpleString()} is not "
+            "gate-orderable — serialize it (array_join / to_json) in the "
+            "contract query"
+        )
