@@ -228,6 +228,23 @@ MERGES: dict[str, tuple[list, list]] = {
            "variance": "variance", "mean_consistency": "mean_consistency",
            "rating_count": "rating_count"})],
     ),
+    "pattern_analysis": (
+        [("user_id", _B), ("session_idx", _B), ("n_events", _B),
+         ("start_epoch", _B), ("end_epoch", _B), ("entity_a", _S),
+         ("entity_b", _S), ("correlation_score", _D),
+         ("co_occurrence_count", _B), ("correlation_type", _S),
+         ("description", _S), ("n_docs", _B)],
+        [("sessions", "event_sessions",
+          {"user_id": "user_id", "session_idx": "session_idx",
+           "n_events": "n_events", "start_epoch": "start_epoch",
+           "end_epoch": "end_epoch"}),
+         ("correlations", "entity_correlations",
+          {"entity_a": "entity_a", "entity_b": "entity_b",
+           "correlation_score": "correlation_score",
+           "co_occurrence_count": "co_occurrence_count",
+           "correlation_type": "correlation_type",
+           "description": "description", "n_docs": "n_docs"})],
+    ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),
          ("f_std", _D), ("f_min", _D), ("f_max", _D), ("f_median", _D),

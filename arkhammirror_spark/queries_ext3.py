@@ -784,3 +784,99 @@ SELECT * FROM (VALUES
         last_modified_by, revision, png_text, warnings, integrity_status,
         integrity_confidence, integrity_findings, err)
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity correlation analysis (patterns shard.py:666-877): Pearson over
+# binary entity x document occurrence vectors, reduced to four integer
+# counts (n, a, b, c) and evaluated in identical double math on both
+# engines. Top-25 most document-frequent validated entities, pairs with
+# >= 2 common documents.
+# ---------------------------------------------------------------------------
+
+
+@register("entity_correlations", None)  # oracle below
+def q_entity_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.correlations import entity_correlations
+    from .operators.entities import filter_valid_mentions
+    from .queries import _mentions_df
+
+    m = _mentions_df(spark, sf_dir).select(
+        "doc_id",
+        F.col("entity_text").alias("text"),
+        F.lit("PERSON").alias("entity_type"),
+    )
+    valid = filter_valid_mentions(m).select(
+        "doc_id", F.lower(F.col("text")).alias("entity")
+    )
+    out = entity_correlations(
+        valid, doc_col="doc_id", entity_col="entity",
+        top_k=25, min_occurrences=2,
+    )
+    return out.select(
+        "entity_a",
+        "entity_b",
+        F.round("correlation_score", 6).alias("correlation_score"),
+        "co_occurrence_count",
+        "correlation_type",
+        "description",
+        "n_docs",
+    )
+
+
+def _entity_correlations_oracle() -> str:
+    from .queries import _MENTIONS_CTE, _VALID_SQL
+
+    return (
+        _MENTIONS_CTE
+        + f"""
+, valid AS (SELECT doc_id, entity_text FROM mentions WHERE {_VALID_SQL}),
+occ AS (SELECT DISTINCT lower(entity_text) AS e, doc_id AS d FROM valid),
+top AS (SELECT e FROM (SELECT e, count(*) AS dc FROM occ GROUP BY e)
+        ORDER BY dc DESC, e ASC LIMIT 25),
+socc AS (SELECT occ.e, occ.d FROM occ JOIN top USING (e)),
+stats AS (SELECT count(DISTINCT d) AS n FROM socc),
+ecnt AS (SELECT e, count(*) AS a FROM socc GROUP BY e),
+pairs AS (SELECT x.e AS entity_a, y.e AS entity_b, count(*) AS c
+          FROM socc x JOIN socc y ON x.d = y.d AND x.e < y.e
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+j AS (SELECT p.entity_a, p.entity_b, p.c, s.n,
+             s.n::DOUBLE AS nd, ea.a::DOUBLE AS ad, eb.a::DOUBLE AS bd,
+             p.c::DOUBLE AS cd
+      FROM pairs p
+      JOIN ecnt ea ON p.entity_a = ea.e
+      JOIN ecnt eb ON p.entity_b = eb.e
+      CROSS JOIN stats s),
+scored AS (SELECT entity_a, entity_b, c, n,
+        CASE WHEN (nd*ad - ad*ad) * (nd*bd - bd*bd) <= 0.0::DOUBLE
+             THEN 0.0::DOUBLE
+             ELSE least(1.0::DOUBLE, greatest(-1.0::DOUBLE,
+               (nd*cd - ad*bd) / sqrt((nd*ad - ad*ad) * (nd*bd - bd*bd))))
+        END AS r
+      FROM j)
+SELECT entity_a, entity_b,
+       CASE WHEN n < 2 THEN 1.0::DOUBLE ELSE round(r, 6) END
+         AS correlation_score,
+       c::BIGINT AS co_occurrence_count,
+       CASE WHEN n < 2 THEN 'co_occurrence'
+            WHEN r >= 0.7 THEN 'strong_positive'
+            WHEN r >= 0.4 THEN 'moderate_positive'
+            WHEN r <= -0.7 THEN 'strong_negative'
+            WHEN r <= -0.4 THEN 'moderate_negative'
+            ELSE 'weak' END AS correlation_type,
+       CASE WHEN n < 2 THEN printf('Found in %d common documents', c)
+            ELSE printf(
+              '%s correlation (r=%.2f), co-occurred in %d documents',
+              CASE WHEN r >= 0.7 THEN 'Strong positive'
+                   WHEN r >= 0.4 THEN 'Moderate positive'
+                   WHEN r <= -0.7 THEN 'Strong negative'
+                   WHEN r <= -0.4 THEN 'Moderate negative'
+                   ELSE 'Weak' END,
+              r, c) END AS description,
+       n::BIGINT AS n_docs
+FROM scored
+"""
+    )
+
+
+ORACLE_EXT3["entity_correlations"] = _entity_correlations_oracle()

@@ -1,0 +1,256 @@
+"""Differential tests for entity correlation analysis: run the ACTUAL
+reference code (arkham-shard-patterns/shard.py, loaded by file path from
+/root/reference with its frame/models imports stubbed) side-by-side with
+the Spark operators.
+
+The Spark Pearson is the closed form (n*c - a*b)/sqrt((n*a - a^2) *
+(n*b - b^2)) while the reference accumulates mean-centered float
+products sequentially — mathematically identical, so scores compare at
+1e-9 and the derived labels/descriptions compare exactly."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import random
+import sys
+import types
+
+import pytest
+
+REF = "/root/reference/packages"
+SHARD = f"{REF}/arkham-shard-patterns/arkham_shard_patterns/shard.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(SHARD), reason="reference tree not available"
+)
+
+
+@pytest.fixture(scope="module")
+def patterns_ref():
+    if "arkham_shard_patterns.shard" in sys.modules:
+        return sys.modules["arkham_shard_patterns.shard"]
+    frame = types.ModuleType("arkham_frame")
+    frame.ArkhamShard = type("ArkhamShard", (), {})
+    sys.modules.setdefault("arkham_frame", frame)
+    pkg = types.ModuleType("arkham_shard_patterns")
+    pkg.__path__ = []
+    sys.modules.setdefault("arkham_shard_patterns", pkg)
+    models = types.ModuleType("arkham_shard_patterns.models")
+
+    class _AnyAttr(type):
+        # enum-style class attributes appear in method default args
+        # (e.g. PatternType.RECURRING_THEME) — answer anything
+        def __getattr__(cls, name):
+            return f"{cls.__name__}.{name}"
+
+    for name in [
+        "Correlation", "CorrelationRequest", "CorrelationResult",
+        "DetectionMethod", "Pattern", "PatternAnalysisRequest",
+        "PatternAnalysisResult", "PatternCriteria", "PatternFilter",
+        "PatternMatch", "PatternMatchCreate", "PatternStatistics",
+        "PatternStatus", "PatternType", "SourceType",
+    ]:
+        setattr(models, name, _AnyAttr(name, (), {}))
+    sys.modules.setdefault("arkham_shard_patterns.models", models)
+    spec = importlib.util.spec_from_file_location(
+        "arkham_shard_patterns.shard", SHARD
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["arkham_shard_patterns.shard"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _shard(patterns_ref):
+    # __init__ needs frame services; the scoring methods don't
+    return patterns_ref.PatternsShard.__new__(patterns_ref.PatternsShard)
+
+
+def _ref_pearson(patterns_ref, x, y):
+    return _shard(patterns_ref)._calculate_pearson(x, y)
+
+
+def _ref_spearman(patterns_ref, x, y):
+    return _shard(patterns_ref)._calculate_spearman(x, y)
+
+
+def _closed_form_pearson(n, a, b, c):
+    """Python mirror of operators.correlations._pearson_from_counts."""
+    nd, ad, bd, cd = float(n), float(a), float(b), float(c)
+    den = (nd * ad - ad * ad) * (nd * bd - bd * bd)
+    if den <= 0.0:
+        return 0.0
+    return max(-1.0, min(1.0, (nd * cd - ad * bd) / math.sqrt(den)))
+
+
+def test_pearson_closed_form_matches_reference_on_binary_vectors(
+    patterns_ref,
+):
+    rng = random.Random(42)
+    for trial in range(200):
+        n = rng.randint(2, 60)
+        x = [rng.randint(0, 1) for _ in range(n)]
+        y = [rng.randint(0, 1) for _ in range(n)]
+        ref = _ref_pearson(patterns_ref, x, y)
+        got = _closed_form_pearson(n, sum(x), sum(y),
+                                   sum(xi * yi for xi, yi in zip(x, y)))
+        assert got == pytest.approx(ref, abs=1e-9), (trial, x, y)
+
+
+def test_pearson_zero_variance_and_clamp(patterns_ref):
+    # all-ones vector (entity in every doc) has zero variance -> 0.0
+    assert _ref_pearson(patterns_ref, [1, 1, 1], [1, 0, 1]) == 0.0
+    assert _closed_form_pearson(3, 3, 2, 2) == 0.0
+    # identical vectors -> exactly 1.0 on both
+    assert _ref_pearson(patterns_ref, [1, 0, 1, 0], [1, 0, 1, 0]) == 1.0
+    assert _closed_form_pearson(4, 2, 2, 2) == 1.0
+
+
+def _ref_find_correlations(patterns_ref, entity_docs, all_docs,
+                           min_occurrences):
+    """shard.py:720-803 main path replicated verbatim on top of the
+    ACTUAL _calculate_pearson (the async wrapper only adds DB I/O)."""
+    entity_ids = sorted(entity_docs)
+    doc_list = list(all_docs)
+    out = []
+    assert len(doc_list) >= 2
+    vectors = {
+        e: [1 if d in entity_docs[e] else 0 for d in doc_list]
+        for e in entity_ids
+    }
+    for i, e1 in enumerate(entity_ids):
+        for e2 in entity_ids[i + 1:]:
+            common = entity_docs[e1] & entity_docs[e2]
+            c = len(common)
+            if c < min_occurrences:
+                continue
+            r = _ref_pearson(patterns_ref, vectors[e1], vectors[e2])
+            if r >= 0.7:
+                t, d = "strong_positive", f"Strong positive correlation (r={r:.2f})"
+            elif r >= 0.4:
+                t, d = "moderate_positive", f"Moderate positive correlation (r={r:.2f})"
+            elif r <= -0.7:
+                t, d = "strong_negative", f"Strong negative correlation (r={r:.2f})"
+            elif r <= -0.4:
+                t, d = "moderate_negative", f"Moderate negative correlation (r={r:.2f})"
+            else:
+                t, d = "weak", f"Weak correlation (r={r:.2f})"
+            out.append({
+                "entity_a": e1, "entity_b": e2, "score": r, "c": c,
+                "type": t,
+                "description": f"{d}, co-occurred in {c} documents",
+            })
+    return out
+
+
+def test_entity_correlations_operator_matches_reference_loop(
+    spark, patterns_ref
+):
+    rng = random.Random(7)
+    entities = [f"e{i:02d}" for i in range(12)]
+    docs = list(range(40))
+    rows = []
+    entity_docs = {e: set() for e in entities}
+    for e in entities:
+        # skewed doc memberships incl. always-present and near-disjoint
+        k = rng.randint(0, len(docs))
+        chosen = set(rng.sample(docs, k))
+        entity_docs[e] = chosen
+        rows.extend((d, e) for d in chosen)
+    # duplicate mention rows must not change DISTINCT occurrence counts
+    rows.extend(rows[:25])
+    all_docs = set().union(*entity_docs.values())
+    expected = _ref_find_correlations(patterns_ref, entity_docs, all_docs,
+                                      min_occurrences=2)
+
+    from arkhammirror_spark.operators.correlations import entity_correlations
+
+    df = spark.createDataFrame(rows, ["doc_id", "entity_text"])
+    got = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in entity_correlations(
+            df, entities=entities, min_occurrences=2
+        ).collect()
+    }
+    exp = {(e["entity_a"], e["entity_b"]): e for e in expected}
+    assert set(got) == set(exp)
+    for key, e in exp.items():
+        g = got[key]
+        assert g["correlation_score"] == pytest.approx(e["score"], abs=1e-9)
+        assert g["co_occurrence_count"] == e["c"]
+        assert g["correlation_type"] == e["type"], key
+        assert g["description"] == e["description"], key
+        assert g["n_docs"] == len(all_docs)
+
+
+def test_degenerate_single_doc_branch(spark, patterns_ref):
+    """shard.py:722-745: |union docs| < 2 -> score 1.0, co_occurrence."""
+    from arkhammirror_spark.operators.correlations import entity_correlations
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (1, "gamma")], ["doc_id", "entity_text"]
+    )
+    rows = entity_correlations(df, min_occurrences=1).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["correlation_score"] == 1.0
+        assert r["correlation_type"] == "co_occurrence"
+        assert r["description"] == "Found in 1 common documents"
+
+
+def test_spearman_matches_reference_including_int_cast_quirk(
+    spark, patterns_ref
+):
+    from arkhammirror_spark.operators.correlations import spearman_int_rank
+
+    rng = random.Random(99)
+    cases = []
+    for g in range(8):
+        n = rng.randint(3, 30)
+        # small value ranges force tie runs, incl. even-length ones whose
+        # .5 average rank the reference truncates
+        x = [rng.randint(0, 4) for _ in range(n)]
+        y = [rng.randint(0, 4) for _ in range(n)]
+        cases.append((g, x, y))
+    rows = [(g, i, xi, yi)
+            for g, x, y in cases for i, (xi, yi) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, ["g", "i", "x", "y"])
+    got = {
+        r["g"]: r["spearman"]
+        for r in spearman_int_rank(df, "x", "y", group_cols=["g"]).collect()
+    }
+    for g, x, y in cases:
+        ref = _ref_spearman(patterns_ref, x, y)
+        assert got[g] == pytest.approx(ref, abs=1e-9), (g, x, y)
+
+
+def test_spearman_int_cast_quirk_differs_from_true_spearman(patterns_ref):
+    """Pin that the quirk is real: an even tie run makes the reference's
+    int-cast ranks disagree with float-rank Spearman, and our window
+    algebra must land on the reference side."""
+    x = [1, 1, 2, 3]  # tie at ranks 1,2 -> avg 1.5 -> int() -> 1
+    y = [4, 1, 3, 2]
+    ref = _ref_spearman(patterns_ref, x, y)
+    # true (float-rank) spearman for comparison
+    def true_rank(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) - 1 and v[order[j]] == v[order[j + 1]]:
+                j += 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+    rx, ry = true_rank(x), true_rank(y)
+    n = len(x)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)
+                    * sum((b - my) ** 2 for b in ry))
+    true_s = num / den
+    assert ref != pytest.approx(true_s, abs=1e-6)
