@@ -172,7 +172,9 @@ MERGES: dict[str, tuple[list, list]] = {
          ("event_type", _S), ("event_ts", _S), ("event_source", _S),
          ("event_actor", _S), ("id_b", _S), ("relationship_type", _S),
          ("match_score", _D), ("rel_confidence", _D),
-         ("similarity_types", _S)],
+         ("similarity_types", _S), ("has_c2pa", _BO), ("signer", _S),
+         ("c2pa_ts", _S), ("finding", _S), ("conf_level", _S),
+         ("implications", _S), ("is_ai_generated", _BO)],
         [("ela", "ela_metrics",
           {"media_id": "media_id", "mean_error": "mean_error",
            "std_error": "std_error", "max_error": "max_error",
@@ -193,7 +195,13 @@ MERGES: dict[str, tuple[list, list]] = {
           {"media_id": "id_a", "id_b": "id_b",
            "relationship_type": "relationship_type",
            "match_score": "match_score", "rel_confidence": "confidence",
-           "similarity_types": "similarity_types"})],
+           "similarity_types": "similarity_types"}),
+         ("c2pa", "c2pa_scan",
+          {"media_id": "media_id", "has_c2pa": "has_c2pa",
+           "signer": "signer", "c2pa_ts": "c2pa_ts", "finding": "finding",
+           "conf_level": "conf_level", "interpretation": "interpretation",
+           "implications": "implications",
+           "is_ai_generated": "is_ai_generated"})],
     ),
     "credibility_analysis": (
         [("source_id", _B), ("cred_score", _I), ("cred_level", _S),

@@ -880,3 +880,186 @@ FROM scored
 
 
 ORACLE_EXT3["entity_correlations"] = _entity_correlations_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C2PA content credentials (media_forensics/services/c2pa_parser.py:85-236):
+# stdlib JUMBF sniff over fixture JPEG/PNG payloads covering every signer
+# branch, then the interpretation rules natively — the oracle pins the
+# sniffed intermediate inputs (the byte walk is pytest-differential-covered)
+# and mirrors the interpretation CASE logic in full SQL.
+# ---------------------------------------------------------------------------
+
+_C2PA_FIXTURES = [
+    # media_id, kind, manifest store (None = no credentials)
+    ("openai", "jpeg", {
+        "active_manifest": "m1",
+        "manifests": {"m1": {
+            "claim_generator": "DALL-E 3",
+            "signature_info": {"issuer": "OpenAI", "time": "2024-03-01"},
+            "assertions": [
+                {"label": "c2pa.actions",
+                 "data": {"actions": [{"action": "c2pa.created"}]}}],
+        }},
+    }),
+    ("adobe_ai", "png", {
+        "active_manifest": "a1",
+        "manifests": {"a1": {
+            "claim_generator": "Adobe Photoshop",
+            "signature_info": {"issuer": "Adobe Inc.",
+                               "time": "2024-01-05"},
+            "assertions": [
+                {"label": "c2pa.actions",
+                 "data": {"actions": [{"action": "c2pa.edited",
+                                       "softwareAgent": "Firefly"}]}}],
+        }},
+    }),
+    ("adobe_plain", "jpeg", {
+        "active_manifest": "p1",
+        "manifests": {"p1": {
+            "claim_generator": "Adobe Lightroom",
+            "signature_info": {"issuer": "Adobe Systems",
+                               "time": "2024-02-02"},
+            "assertions": [
+                {"label": "c2pa.actions", "data": {"actions": [
+                    {"action": "c2pa.color_adjustments"}]}}],
+        }},
+    }),
+    ("microsoft", "jpeg", {
+        "active_manifest": "d1",
+        "manifests": {"d1": {
+            "claim_generator": "Microsoft Designer",
+            "signature_info": {"issuer": "Microsoft Corp",
+                               "time": "2024-04-04"},
+        }},
+    }),
+    ("leica", "png", {
+        "active_manifest": "l1",
+        "manifests": {"l1": {
+            "claim_generator": "Leica M11-P",
+            "signature_info": {"issuer": "Leica Camera AG",
+                               "time": "2024-05-05"},
+        }},
+    }),
+    ("unsigned", "jpeg", {
+        "active_manifest": "u1",
+        "manifests": {"u1": {"claim_generator": "cli-tool"}},
+    }),
+    ("plain", "jpeg", None),
+]
+
+
+@register("c2pa_scan", None)  # oracle below
+def q_c2pa_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators.c2pa import (
+        embed_c2pa_jpeg,
+        embed_c2pa_png,
+        extract_c2pa,
+        interpret_c2pa_cols,
+    )
+    from .operators.media_metadata import build_jpeg_exif
+    from .operators.multimodal import encode_png
+
+    base_jpeg = build_jpeg_exif()
+    base_png = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    rows = []
+    for mid, kind, store in _C2PA_FIXTURES:
+        if store is None:
+            payload = base_jpeg if kind == "jpeg" else base_png
+        elif kind == "jpeg":
+            payload = embed_c2pa_jpeg(base_jpeg, store)
+        else:
+            payload = embed_c2pa_png(base_png, store)
+        rows.append((mid, payload))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    ext = extract_c2pa(df)
+    # the trust-anchors-loaded case (signature_valid -> confidence 'high'):
+    # unreachable from the no-anchors stdlib lane, injected as a literal row
+    trusted = spark.createDataFrame(
+        [("trusted", True, None, True, "OpenAI", "2024-06-01",
+          "DALL-E 3", "", "1")],
+        ext.schema,
+    )
+    out = interpret_c2pa_cols(ext.unionByName(trusted))
+    return out.select(
+        "media_id",
+        "has_c2pa",
+        F.coalesce("signer", F.lit("<na>")).alias("signer"),
+        F.coalesce("c2pa_ts", F.lit("<na>")).alias("c2pa_ts"),
+        "finding",
+        F.col("conf_level"),
+        "interpretation",
+        "implications",
+        "is_ai_generated",
+    )
+
+
+def _c2pa_oracle() -> str:
+    from .operators.c2pa import (
+        _NO_C2PA_IMPL,
+        _NO_C2PA_INTERP,
+        _OPENAI_IMPL,
+        _OPENAI_INTERP,
+    )
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+WITH inputs(media_id, has_c2pa, has_error, signature_valid, signer,
+            c2pa_ts, actions_str) AS (VALUES
+  ('openai', true, false, false, 'OpenAI', '2024-03-01',
+   '{{''action'': ''c2pa.created''}}'),
+  ('adobe_ai', true, false, false, 'Adobe Inc.', '2024-01-05',
+   '{{''action'': ''c2pa.edited'', ''softwareAgent'': ''Firefly''}}'),
+  ('adobe_plain', true, false, false, 'Adobe Systems', '2024-02-02',
+   '{{''action'': ''c2pa.color_adjustments''}}'),
+  ('microsoft', true, false, false, 'Microsoft Corp', '2024-04-04', ''),
+  ('leica', true, false, false, 'Leica Camera AG', '2024-05-05', ''),
+  ('unsigned', true, false, false, NULL, NULL, ''),
+  ('plain', false, false, false, NULL, NULL, NULL),
+  ('trusted', true, false, true, 'OpenAI', '2024-06-01', '')
+),
+d AS (SELECT *,
+  ((NOT has_c2pa) OR has_error) AS no_c2pa,
+  lower(coalesce(signer, '')) AS sl,
+  lower(coalesce(actions_str, '')) AS al
+  FROM inputs),
+r AS (SELECT *,
+  (contains(sl, 'openai') OR contains(sl, 'dall-e')) AS is_openai,
+  contains(sl, 'adobe') AS is_adobe,
+  (contains(al, 'generative') OR contains(al, 'firefly')) AS adobe_ai,
+  contains(sl, 'microsoft') AS is_ms
+  FROM d)
+SELECT media_id, has_c2pa,
+  coalesce(signer, '<na>') AS signer,
+  coalesce(c2pa_ts, '<na>') AS c2pa_ts,
+  CASE WHEN no_c2pa THEN 'NO_C2PA' ELSE 'C2PA_PRESENT' END AS finding,
+  CASE WHEN no_c2pa THEN 'low'
+       WHEN signature_valid THEN 'high' ELSE 'medium' END AS conf_level,
+  CASE WHEN no_c2pa THEN '{sq(_NO_C2PA_INTERP)}'
+       WHEN is_openai THEN '{sq(_OPENAI_INTERP)}'
+       WHEN is_adobe THEN 'This content has Adobe Content Credentials.'
+       WHEN is_ms THEN 'This content has Microsoft Content Credentials.'
+       ELSE 'Content signed by: ' || coalesce(signer, 'None')
+  END AS interpretation,
+  CASE WHEN no_c2pa THEN '{sq(_NO_C2PA_IMPL)}'
+       WHEN is_openai THEN '{sq(_OPENAI_IMPL)}'
+       WHEN is_adobe AND adobe_ai
+         THEN 'Contains AI-generated elements (Adobe Firefly)'
+       WHEN is_adobe THEN 'Created or edited with Adobe software'
+       WHEN is_ms
+         THEN 'May have been created with Microsoft Designer or Copilot'
+       ELSE 'Provenance verified through C2PA signature'
+  END AS implications,
+  CASE WHEN no_c2pa THEN false
+       WHEN is_openai THEN true
+       WHEN is_adobe AND adobe_ai THEN true
+       ELSE false END AS is_ai_generated
+FROM r
+"""
+
+
+ORACLE_EXT3["c2pa_scan"] = _c2pa_oracle()
