@@ -495,6 +495,55 @@ METADATA_SCHEMA = StructType(
 )
 
 
+def metadata_row(mid, payload) -> dict[str, object]:
+    """One payload -> one METADATA_SCHEMA-shaped dict (kind sniff, parser
+    dispatch, warnings, integrity; per-row quarantine on corrupt
+    containers). Shared by extract_media_metadata and the provenance
+    full_scan single-pass composition."""
+    names = [f.name for f in METADATA_SCHEMA.fields]
+    row: dict[str, object] = {c: None for c in names}
+    row["media_id"] = mid
+    row["warnings"] = []
+    row["integrity_status"] = "unknown"
+    row["integrity_confidence"] = 0.0
+    row["integrity_findings"] = []
+    try:
+        if payload is None:
+            raise ValueError("empty payload")
+        raw = bytes(payload)
+        kind = sniff_kind(raw)
+        row["kind"] = kind
+        if kind == "jpeg":
+            meta = parse_jpeg_metadata(raw)
+        elif kind == "png":
+            txt = parse_png_text(raw)
+            meta = {}
+            if txt:
+                meta["png_text"] = ";".join(
+                    f"{k}={txt[k]}" for k in sorted(txt)
+                )
+                if "Software" in txt:
+                    meta["software"] = txt["Software"]
+        elif kind == "pdf":
+            meta = parse_pdf_metadata(raw)
+        elif kind == "ooxml":
+            meta = parse_ooxml_metadata(raw)
+        else:
+            meta = {}
+        for k, v in meta.items():
+            if k in row and v is not None:
+                row[k] = v
+        row["warnings"] = metadata_warnings(kind, meta)
+        status, conf, findings = analyze_integrity(kind, meta)
+        row["integrity_status"] = status
+        row["integrity_confidence"] = conf
+        row["integrity_findings"] = findings
+    except Exception as exc:
+        row["kind"] = row.get("kind") or "unknown"
+        row["error"] = f"{type(exc).__name__}: {exc}"
+    return row
+
+
 def extract_media_metadata(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -508,49 +557,12 @@ def extract_media_metadata(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col].tolist(), pdf[payload_col].tolist()):
-                row: dict[str, object] = {c: None for c in names}
-                row["media_id"] = mid
-                row["warnings"] = []
-                row["integrity_status"] = "unknown"
-                row["integrity_confidence"] = 0.0
-                row["integrity_findings"] = []
-                try:
-                    if payload is None:
-                        raise ValueError("empty payload")
-                    raw = bytes(payload)
-                    kind = sniff_kind(raw)
-                    row["kind"] = kind
-                    if kind == "jpeg":
-                        meta = parse_jpeg_metadata(raw)
-                    elif kind == "png":
-                        txt = parse_png_text(raw)
-                        meta = {}
-                        if txt:
-                            meta["png_text"] = ";".join(
-                                f"{k}={txt[k]}" for k in sorted(txt)
-                            )
-                            if "Software" in txt:
-                                meta["software"] = txt["Software"]
-                    elif kind == "pdf":
-                        meta = parse_pdf_metadata(raw)
-                    elif kind == "ooxml":
-                        meta = parse_ooxml_metadata(raw)
-                    else:
-                        meta = {}
-                    for k, v in meta.items():
-                        if k in row and v is not None:
-                            row[k] = v
-                    row["warnings"] = metadata_warnings(kind, meta)
-                    status, conf, findings = analyze_integrity(kind, meta)
-                    row["integrity_status"] = status
-                    row["integrity_confidence"] = conf
-                    row["integrity_findings"] = findings
-                except Exception as exc:
-                    row["kind"] = row.get("kind") or "unknown"
-                    row["error"] = f"{type(exc).__name__}: {exc}"
-                rows.append(row)
+            rows = [
+                metadata_row(mid, payload)
+                for mid, payload in zip(
+                    pdf[id_col].tolist(), pdf[payload_col].tolist()
+                )
+            ]
             out = pd.DataFrame(rows, columns=names)
             for c in ("orientation", "revision"):
                 out[c] = pd.array(
@@ -765,5 +777,11 @@ def make_docx_with_core(
     base = make_docx(paragraphs)
     buf = io.BytesIO(base)
     with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("docProps/core.xml", core)
+        # pinned date_time keeps the payload byte-deterministic (hash
+        # oracles pin digests of these fixtures)
+        info = zipfile.ZipInfo(
+            "docProps/core.xml", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        info.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(info, core)
     return buf.getvalue()

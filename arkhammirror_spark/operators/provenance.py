@@ -188,3 +188,98 @@ def metadata_relationships(
         conf.alias("confidence"),
         "similarity_types",
     )
+
+
+# ---------------------------------------------------------------------------
+# full_scan composition (forensics.py:810-889)
+# ---------------------------------------------------------------------------
+
+
+def full_scan(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Complete forensic scan, one row per document (forensics.py:810-889):
+    md5/sha256/sha512 + file size (calculate_hashes, :70-84), the
+    kind-dispatched metadata walk, integrity analysis, and the timeline
+    event count, with scan_status completed/failed.
+
+    Single-pass shape: the payload crosses into Python ONCE — one
+    mapInPandas computes the metadata row AND the hashlib digests per
+    batch (hashing natively in Catalyst would be JVM-fast but forces a
+    second full scan of the payload column to join back; at 100 TB the
+    Arrow transfer dominates, so it rides the pass that already moves the
+    bytes).  The slim hash+metadata output (no payload) is lazily
+    localCheckpointed before the timeline branch re-reads it, so the
+    extraction UDF never runs twice.  The reference dispatches on the
+    request's MIME type; this lane dispatches on the sniffed container
+    kind (same branches, content-derived — a 100-TB crawl cannot trust
+    declared MIME)."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..shipping import ensure_shipped
+    from .media_metadata import METADATA_SCHEMA, metadata_row
+
+    ensure_shipped(media.sparkSession)
+    schema = StructType(
+        METADATA_SCHEMA.fields
+        + [
+            StructField("file_hash_md5", StringType(), True),
+            StructField("file_hash_sha256", StringType(), True),
+            StructField("file_hash_sha512", StringType(), True),
+            StructField("file_size", LongType(), True),
+        ]
+    )
+    names = [f.name for f in schema.fields]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(
+                pdf[id_col].tolist(), pdf[payload_col].tolist()
+            ):
+                row = metadata_row(mid, payload)
+                raw = bytes(payload) if payload is not None else b""
+                row["file_hash_md5"] = hashlib.md5(raw).hexdigest()
+                row["file_hash_sha256"] = hashlib.sha256(raw).hexdigest()
+                row["file_hash_sha512"] = hashlib.sha512(raw).hexdigest()
+                row["file_size"] = len(raw)
+                rows.append(row)
+            out = pd.DataFrame(rows, columns=names)
+            for c in ("orientation", "revision", "file_size"):
+                out[c] = pd.array([r.get(c) for r in rows], dtype="Int64")
+            yield out
+
+    scanned = (
+        media.select(id_col, payload_col)
+        .mapInPandas(_run, schema)
+        .localCheckpoint(eager=False)
+    )
+    timeline_counts = (
+        metadata_timeline(scanned, id_col="media_id")
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_timeline_events"))
+    )
+    return (
+        scanned.join(timeline_counts, "media_id", "left")
+        .withColumn(
+            "n_timeline_events",
+            F.coalesce("n_timeline_events", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "scan_status",
+            F.when(F.col("error").isNotNull(), F.lit("failed")).otherwise(
+                F.lit("completed")
+            ),
+        )
+    )

@@ -132,7 +132,7 @@ SELECT * FROM (VALUES
 # ---------------------------------------------------------------------------
 
 
-def _metadata_fixture(spark: SparkSession) -> DataFrame:
+def _metadata_fixture_rows() -> list[tuple[str, bytes]]:
     from .operators.media_metadata import (
         add_png_text,
         build_jpeg_exif,
@@ -173,19 +173,29 @@ def _metadata_fixture(spark: SparkSession) -> DataFrame:
             last_modified_by="Carol", revision=1)),
         ("junk", b"\xff\xd8\x00broken marker stream"),
     ]
-    return spark.createDataFrame(rows, "media_id: string, payload: binary")
+    return rows
+
+
+def _metadata_fixture(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _metadata_fixture_rows(), "media_id: string, payload: binary"
+    )
 
 
 @register("media_metadata", None)  # oracle (VALUES) attached below
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified metadata surface over JPEG-EXIF / PNG-tEXt / PDF-Info /
     OOXML-core lanes with the anomaly-rule warnings; corrupt containers
-    quarantine (the junk row appears with err=1 and no fields)."""
-    from .operators.media_metadata import extract_media_metadata
+    quarantine (the junk row appears with err=1 and no fields). Round 5:
+    the composed provenance full_scan (forensics.py:810-889) replaces the
+    bare metadata walk — same metadata columns PLUS md5/sha256/sha512,
+    file size, timeline event count, and scan status, all in one payload
+    pass."""
+    from .operators.provenance import full_scan
     from .shipping import ensure_shipped
 
     ensure_shipped(spark)
-    out = extract_media_metadata(_metadata_fixture(spark))
+    out = full_scan(_metadata_fixture(spark))
     # absent fields surface as typed sentinels, not NULLs: the driver's
     # value compare sorts rows as tuples and None is unorderable vs str
     s = lambda c: F.coalesce(F.col(c), F.lit("<na>")).alias(c)  # noqa: E731
@@ -203,6 +213,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("integrity_confidence", 6).alias("integrity_confidence"),
         F.array_join("integrity_findings", "|").alias("integrity_findings"),
         F.col("error").isNotNull().cast("int").alias("err"),
+        "file_hash_md5",
+        "file_hash_sha256",
+        "file_hash_sha512",
+        F.col("file_size").cast("long").alias("file_size"),
+        "n_timeline_events",
+        "scan_status",
     )
 
 
@@ -745,7 +761,7 @@ FROM finals
 """
 
 
-ORACLE_EXT3["media_metadata"] = """
+_MEDIA_METADATA_BASE_ORACLE = """
 SELECT * FROM (VALUES
   ('cam-clean', 'jpeg', 'Nikon', 'D750', '<na>', '2020:01:01 12:00:00',
    -424242.0::DOUBLE, -424242.0::DOUBLE, '<na>', '<na>', '<na>', '<na>', '<na>', '<na>',
@@ -1063,3 +1079,42 @@ FROM r
 
 
 ORACLE_EXT3["c2pa_scan"] = _c2pa_oracle()
+
+
+def _media_metadata_full_oracle() -> str:
+    """Extend the pinned metadata VALUES with the full_scan columns:
+    digests + sizes computed independently with hashlib over the SAME
+    deterministic fixture payloads (builders pin zip timestamps),
+    timeline event counts hand-derived from the metadata_timeline rules
+    (cam-full: captured + digitized(!= original) + modified = 3;
+    cam-clean: captured + modified, digitized==original suppressed = 2;
+    stripped/gps-anon/shot-png: no timestamp fields = 0; rep-pdf and
+    memo-docx: created + modified(!= created) = 2; junk: quarantined,
+    no fields = 0), and scan_status derived from the oracled err flag."""
+    import hashlib
+
+    tl = {"cam-full": 3, "cam-clean": 2, "stripped": 0, "gps-anon": 0,
+          "shot-png": 0, "rep-pdf": 2, "memo-docx": 2, "junk": 0}
+    hrows = []
+    for mid, payload in _metadata_fixture_rows():
+        hrows.append(
+            f"('{mid}', '{hashlib.md5(payload).hexdigest()}', "
+            f"'{hashlib.sha256(payload).hexdigest()}', "
+            f"'{hashlib.sha512(payload).hexdigest()}', "
+            f"{len(payload)}::BIGINT, {tl[mid]}::BIGINT)"
+        )
+    values = ",\n  ".join(hrows)
+    return f"""
+SELECT o.*, h.file_hash_md5, h.file_hash_sha256, h.file_hash_sha512,
+       h.file_size, h.n_timeline_events,
+       CASE WHEN o.err = 1 THEN 'failed' ELSE 'completed' END AS scan_status
+FROM ({_MEDIA_METADATA_BASE_ORACLE}) o
+JOIN (VALUES
+  {values}
+) h(media_id, file_hash_md5, file_hash_sha256, file_hash_sha512,
+    file_size, n_timeline_events)
+  ON o.media_id = h.media_id
+"""
+
+
+ORACLE_EXT3["media_metadata"] = _media_metadata_full_oracle()

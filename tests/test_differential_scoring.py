@@ -459,3 +459,68 @@ class TestPhashHelpersDifferential:
             assert hamming_distance_hex(a, b) == svc.compute_hamming_distance(a, b)
             assert abs(similarity_score_hex(a, b)
                        - svc.similarity_score(a, b)) < 1e-12
+
+
+class TestFullScanDifferential:
+    def test_full_scan_composition_matches_reference(
+        self, spark, forensics_ref, tmp_path
+    ):
+        """full_scan (forensics.py:810-889) with no extract branches
+        (mime '') vs the Spark composition on an unknown-kind payload:
+        identical md5/sha256/sha512, file size, integrity triple,
+        timeline count, and completed status."""
+        from arkhammirror_spark.operators.provenance import full_scan
+
+        models, forensics = forensics_ref
+        analyzer = forensics.MetadataForensicAnalyzer()
+        data = b"not-a-known-container " * 40
+        path = tmp_path / "blob.bin"
+        path.write_bytes(data)
+        ref = analyzer.full_scan("d1", str(path), data, mime_type="")
+
+        df = spark.createDataFrame(
+            [("d1", bytearray(data))], "media_id string, payload binary"
+        )
+        got = full_scan(df).collect()[0]
+        assert got["file_hash_md5"] == ref.file_hash_md5
+        assert got["file_hash_sha256"] == ref.file_hash_sha256
+        assert got["file_hash_sha512"] == ref.file_hash_sha512
+        assert got["file_size"] == ref.file_size
+        assert got["integrity_status"] == ref.integrity_status.value
+        assert got["integrity_confidence"] == ref.confidence_score
+        assert got["n_timeline_events"] == len(ref.timeline_events)
+        assert got["scan_status"] == ref.scan_status.value
+        assert got["kind"] == "unknown"
+
+    def test_full_scan_composes_metadata_and_timeline(self, spark):
+        """EXIF-bearing JPEG through the composed scan: hash columns plus
+        the SAME metadata/integrity/timeline the part operators produce,
+        one UDF pass (plan shows a single ArrowEvalPython/mapInPandas)."""
+        import hashlib
+
+        from arkhammirror_spark.operators.media_metadata import (
+            build_jpeg_exif,
+        )
+        from arkhammirror_spark.operators.provenance import full_scan
+
+        jpg = build_jpeg_exif(
+            make="Canon", model="EOS", software="gimp 2.10",
+            datetime_original="2021:06:01 09:00:00",
+            datetime_modified="2021:06:02 10:00:00",
+        )
+        df = spark.createDataFrame(
+            [("j1", bytearray(jpg)), ("empty", None)],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in full_scan(df).collect()}
+        j = rows["j1"]
+        assert j["file_hash_sha256"] == hashlib.sha256(jpg).hexdigest()
+        assert j["kind"] == "jpeg" and j["make"] == "Canon"
+        assert j["scan_status"] == "completed"
+        assert j["n_timeline_events"] >= 2  # captured + modified
+        e = rows["empty"]
+        assert e["scan_status"] == "failed"
+        assert e["file_size"] == 0
+        assert e["file_hash_md5"] == hashlib.md5(b"").hexdigest()
+        plan = full_scan(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("mapInPandas") + plan.count("MapInPandas") <= 2
