@@ -23,7 +23,7 @@ these are the standard web-corpus near-dup family, built Spark-native:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Mersenne prime 2^31-1: with h, a, b all in [0, p), the product h*a is
 # < 2^62, safely inside int64 — ANSI-mode sessions (Spark 4 default) would
@@ -114,11 +114,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+def _banded_buckets(
+    sigs: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """Band the signature; docs sharing any band bucket become candidates."""
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -135,6 +134,45 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows: int = 4,
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates
+    -> (id_a, id_b, truncated).
+
+    Hot-bucket guard: a pathological band bucket (thousands of
+    near-identical boilerplate pages surviving exact dedup) would emit
+    O(m^2) candidate rows. Buckets larger than `bucket_cap` keep only
+    their `bucket_cap` smallest ids (row_number over the SAME (band,
+    bucket) shuffle key the join needs — no extra exchange, just a sort),
+    so a bucket's join fan-out is bounded by bucket_cap^2 while every
+    surviving member still pairs with every other (near-identical pages
+    collapse to the same keeper set either way). `truncated` flags pairs
+    whose every co-occurrence was in a capped bucket; the dropped-member
+    recall audit is `lsh_bucket_audit`. bucket_cap=None disables the
+    guard entirely."""
+    banded = _banded_buckets(sigs, id_col, bands, rows)
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_capped",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band", "bucket")
+                ) > bucket_cap,
+            )
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    else:
+        banded = banded.withColumn("_capped", F.lit(False))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -144,10 +182,40 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
+        .agg(
+            # true only when NO uncapped bucket also produced the pair
+            F.min(F.col("a._capped").cast("int")).cast("boolean").alias(
+                "truncated"
+            )
+        )
+    )
+
+
+def lsh_bucket_audit(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows: int = 4,
+    bucket_cap: int = 5000,
+) -> DataFrame:
+    """(band, bucket, size, kept, dropped) for every bucket over the cap —
+    the recall ledger for truncated candidate generation."""
+    return (
+        _banded_buckets(sigs, id_col, bands, rows)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > bucket_cap)
+        .select(
+            "band",
+            "bucket",
+            "size",
+            F.lit(bucket_cap).cast("long").alias("kept"),
+            (F.col("size") - bucket_cap).cast("long").alias("dropped"),
+        )
     )
 
 

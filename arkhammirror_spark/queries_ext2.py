@@ -983,8 +983,11 @@ def _sql_cos(a: str, b: str) -> str:
 @register("embedding_neardup", None)  # oracle below
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with cosine ≥ 0.999 via banded hyperplane LSH + exact verify.
-    The brute-force SQL is a valid oracle: per-pair miss probability at
-    B=8, R=4 and θ ≤ 0.02 rad is ~1e-13 (see pairwise_cosine_above_banded)."""
+    R auto-sizes to ~log2(n) (recommended_rows_per_band). The brute-force
+    SQL stays a valid oracle at ANY derived R the test scales reach: for
+    the fixture's θ ≤ 0.02 rad pairs the per-band agreement is
+    (1 − θ/π)^R ≥ 0.99363^14 ≈ 0.91, so the 8-band miss probability is
+    ≤ (1 − 0.91)^8 ≈ 4e-9."""
     from .operators.similarity import pairwise_cosine_above_banded
 
     d = _derived_emb(spark, sf_dir)

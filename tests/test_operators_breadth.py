@@ -268,3 +268,63 @@ class TestRerankers:
         assert {(r["rid"], r["doc_id"]) for r in kept} == {(1, "a"), (5, "b")}
         div = diversify_by_source(df, max_per_source=3).collect()
         assert sorted(r["rid"] for r in div) == [1, 2, 3, 5]
+
+
+class TestLshHotBucketCap:
+    def test_identical_signature_cluster_is_capped(self, spark):
+        """10k docs with the SAME signature land in one bucket per band;
+        the guard must bound candidates to C(cap, 2) instead of ~50M,
+        flag them truncated, and ledger the dropped members."""
+        from arkhammirror_spark.operators.dedup import (
+            lsh_bucket_audit,
+            lsh_candidate_pairs,
+        )
+
+        sig = list(range(16))
+        sigs = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.array(*[F.lit(v) for v in sig]).alias("signature"),
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, bands=4, rows=4, bucket_cap=50
+        ).collect()
+        assert len(pairs) == 50 * 49 // 2
+        assert all(r["truncated"] for r in pairs)
+        # survivors are the 50 smallest ids, all mutually paired
+        ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert ids == set(range(50))
+        audit = lsh_bucket_audit(
+            sigs, bands=4, rows=4, bucket_cap=50
+        ).collect()
+        assert len(audit) == 4  # one hot bucket per band
+        assert all(a["size"] == 10_000 and a["dropped"] == 9_950
+                   for a in audit)
+
+    def test_cap_leaves_cold_buckets_exact_and_unflagged(self, spark):
+        """Distinct-signature corpus: capped output == uncapped output,
+        nothing flagged truncated, audit empty."""
+        from arkhammirror_spark.operators.dedup import (
+            lsh_bucket_audit,
+            lsh_candidate_pairs,
+        )
+
+        # 40 docs in 20 identical-signature pairs -> 20 candidate pairs
+        sigs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.array(
+                *[(F.col("id") / 2).cast("long") * 100 + F.lit(i)
+                  for i in range(16)]
+            ).alias("signature"),
+        )
+        capped = lsh_candidate_pairs(sigs, bands=4, rows=4, bucket_cap=50)
+        uncapped = lsh_candidate_pairs(sigs, bands=4, rows=4,
+                                       bucket_cap=None)
+        c = sorted((r["id_a"], r["id_b"], r["truncated"])
+                   for r in capped.collect())
+        u = sorted((r["id_a"], r["id_b"], r["truncated"])
+                   for r in uncapped.collect())
+        assert c == u
+        assert len(c) == 20
+        assert not any(t for _, _, t in c)
+        assert lsh_bucket_audit(sigs, bands=4, rows=4,
+                                bucket_cap=50).count() == 0
