@@ -241,7 +241,8 @@ MERGES: dict[str, tuple[list, list]] = {
          ("start_epoch", _B), ("end_epoch", _B), ("entity_a", _S),
          ("entity_b", _S), ("correlation_score", _D),
          ("co_occurrence_count", _B), ("correlation_type", _S),
-         ("description", _S), ("n_docs", _B)],
+         ("description", _S), ("n_docs", _B), ("group_id", _B),
+         ("spearman", _D)],
         [("sessions", "event_sessions",
           {"user_id": "user_id", "session_idx": "session_idx",
            "n_events": "n_events", "start_epoch": "start_epoch",
@@ -251,7 +252,10 @@ MERGES: dict[str, tuple[list, list]] = {
            "correlation_score": "correlation_score",
            "co_occurrence_count": "co_occurrence_count",
            "correlation_type": "correlation_type",
-           "description": "description", "n_docs": "n_docs"})],
+           "description": "description", "n_docs": "n_docs"}),
+         ("spearman", "spearman_corr",
+          {"group_id": "group_id", "spearman": "spearman",
+           "n_docs": "n"})],
     ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),

@@ -1118,3 +1118,67 @@ JOIN (VALUES
 
 
 ORACLE_EXT3["media_metadata"] = _media_metadata_full_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation with the reference's int-cast tie quirk
+# (patterns shard.py:845-877) — derived integer pairs with engineered tie
+# runs per group; FULL SQL mirror (the rank algebra is pure window math:
+# int_rank = rank() + (ties-1)//2, then the closed-form Pearson in double).
+# ---------------------------------------------------------------------------
+
+
+@register("spearman_corr", None)  # oracle below
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.correlations import spearman_int_rank
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    df = d.select(
+        (F.col("doc_id") % 6).alias("g"),
+        ((F.col("doc_id") * 7) % 5).alias("x"),  # heavy ties: 5 values
+        ((F.col("doc_id") * 3 + F.col("doc_id") % 2) % 4).alias("y"),
+    )
+    out = spearman_int_rank(df, "x", "y", group_cols=["g"])
+    return out.select(
+        F.col("g").cast("long").alias("group_id"),
+        F.round("spearman", 6).alias("spearman"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+ORACLE_EXT3["spearman_corr"] = """
+WITH src AS (
+  SELECT doc_id % 6 AS g, (doc_id * 7) % 5 AS x,
+         (doc_id * 3 + doc_id % 2) % 4 AS y
+  FROM documents
+),
+ranked AS (
+  SELECT g,
+    (rank() OVER (PARTITION BY g ORDER BY x)
+       + (count(*) OVER (PARTITION BY g, x) - 1) // 2)::BIGINT AS rx,
+    (rank() OVER (PARTITION BY g ORDER BY y)
+       + (count(*) OVER (PARTITION BY g, y) - 1) // 2)::BIGINT AS ry
+  FROM src
+),
+agg AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+         sum(rx * ry)::BIGINT AS sxy,
+         sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy
+  FROM ranked GROUP BY g
+),
+scored AS (
+  SELECT g, n,
+    CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx)
+            * (n::DOUBLE * syy - sy::DOUBLE * sy) <= 0.0::DOUBLE
+         THEN 0.0::DOUBLE
+         ELSE least(1.0::DOUBLE, greatest(-1.0::DOUBLE,
+           (n::DOUBLE * sxy - sx::DOUBLE * sy)
+           / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                  * (n::DOUBLE * syy - sy::DOUBLE * sy))))
+    END AS r
+  FROM agg
+)
+SELECT g::BIGINT AS group_id, round(r, 6) AS spearman, n FROM scored
+"""
