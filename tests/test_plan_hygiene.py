@@ -53,8 +53,13 @@ _ARROW_BOUNDS = {
     "graph_betweenness": (0, 0),
     "image_phash": (1, 1),        # the gated decode+hash mapInPandas pass
     "image_neardup": (0, 0),      # slim sigs checkpoint truncates the pass
-    "media_metadata": (1, 1),     # the stdlib container-walk pass
+    # full_scan lazily localCheckpoints its UDF output, so the printed
+    # plan is already truncated to the checkpoint scan (0 nodes)
+    "media_metadata": (0, 1),
     "ela_metrics": (1, 1),        # the gated resave+diff pass
+    "c2pa_scan": (1, 1),          # the stdlib JUMBF sniff pass
+    # lazy-checkpointed slim occurrence frame, same truncation
+    "entity_correlations": (0, 4),
 }
 
 
