@@ -197,3 +197,106 @@ def vlm_ocr_images(
             yield pd.DataFrame(rows, columns=names)
 
     return pages.select("url", payload_col).mapInPandas(_run, VLM_OCR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# table extraction codec (qwen_worker.py:314-396) — the second VLM call's
+# request shape and its deterministic response parse (markdown-fence
+# cleanup + JSON decode + list check), network POST excluded as above
+# ---------------------------------------------------------------------------
+
+# verbatim from qwen_worker.py:328-341
+TABLE_PROMPT = """Analyze this image for tables. For each table found, extract:
+1. Column headers
+2. Row data
+
+Return as JSON array:
+[
+  {
+    "headers": ["Col1", "Col2", ...],
+    "rows": [["val1", "val2", ...], ...]
+  }
+]
+
+If no tables found, return: []
+Only output the JSON, nothing else."""
+
+TABLE_SYSTEM_PROMPT = (
+    "You are a table extraction engine. Extract tables from images as JSON."
+)
+
+
+def build_table_request(
+    payload: bytes,
+    mime_type: str = "image/png",
+    model: str = DEFAULT_MODEL,
+    max_tokens: int = 4096,
+) -> dict:
+    """The table-pass chat body (qwen_worker.py:343-367): table system
+    prompt + TABLE_PROMPT + the same data-URL image part, temperature
+    pinned to 0.1."""
+    image_b64 = base64.b64encode(payload).decode("utf-8")
+    return {
+        "model": model,
+        "messages": [
+            {"role": "system", "content": TABLE_SYSTEM_PROMPT},
+            {
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": TABLE_PROMPT},
+                    {
+                        "type": "image_url",
+                        "image_url": {
+                            "url": f"data:{mime_type};base64,{image_b64}"
+                        },
+                    },
+                ],
+            },
+        ],
+        "temperature": 0.1,
+        "max_tokens": max_tokens,
+    }
+
+
+def parse_vlm_tables(result: dict) -> list:
+    """qwen_worker.py:372-396 response handling, reproduced exactly:
+    take choices[0].message.content, strip markdown code fences
+    (```json / ``` at end), json-decode, and return the value only when
+    it is a list — anything else (bad JSON, a dict, empty content, a
+    malformed envelope) yields [], matching the reference's broad
+    try/except fallback."""
+    import json as _json
+    import re as _re
+
+    try:
+        content = ""
+        if "choices" in result and len(result["choices"]) > 0:
+            content = (
+                result["choices"][0].get("message", {}).get("content", "")
+                or ""
+            )
+        content = _re.sub(r"```json?\s*", "", content)
+        content = _re.sub(r"```\s*$", "", content)
+        content = content.strip()
+        if content:
+            tables = _json.loads(content)
+            if isinstance(tables, list):
+                return tables
+    except Exception:
+        pass
+    return []
+
+
+def mime_for_path(path: str) -> str:
+    """Extension sniff (qwen_worker.py:221-230): png/jpg/jpeg/gif/webp,
+    defaulting to image/png."""
+    p = path.lower()
+    if p.endswith(".png"):
+        return "image/png"
+    if p.endswith((".jpg", ".jpeg")):
+        return "image/jpeg"
+    if p.endswith(".gif"):
+        return "image/gif"
+    if p.endswith(".webp"):
+        return "image/webp"
+    return "image/png"
