@@ -64,17 +64,25 @@ def build_jumbf_manifest(manifest_store: dict) -> bytes:
     return _box(b"jumb", jumd + _box(b"json", payload))
 
 
+# max JUMBF bytes per APP11 segment: 0xFFFF length field covers the
+# 2-byte length itself + CI(2) + En(2) + Z(4)
+_APP11_CHUNK = 0xFFFF - 2 - 8
+
+
 def embed_c2pa_jpeg(jpeg: bytes, manifest_store: dict) -> bytes:
-    """Insert an APP11/JUMBF segment right after SOI (single-segment
-    embedding: CI="JP", En=1, Z=1, then the JUMBF superbox)."""
+    """Insert APP11/JUMBF segment(s) right after SOI. Manifests larger
+    than one marker segment split across several APP11 segments with the
+    same En and incrementing Z (the C2PA JPEG embedding), which real
+    signed manifests (COSE signature + cert chain) routinely need."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     jumbf = build_jumbf_manifest(manifest_store)
-    body = b"JP" + struct.pack(">HI", 1, 1) + jumbf
-    if len(body) + 2 > 0xFFFF:
-        raise ValueError("manifest too large for one APP11 segment")
-    seg = b"\xff\xeb" + struct.pack(">H", len(body) + 2) + body
-    return jpeg[:2] + seg + jpeg[2:]
+    segs = b""
+    for i in range(0, len(jumbf), _APP11_CHUNK):
+        chunk = jumbf[i:i + _APP11_CHUNK]
+        body = b"JP" + struct.pack(">HI", 1, i // _APP11_CHUNK + 1) + chunk
+        segs += b"\xff\xeb" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + segs + jpeg[2:]
 
 
 def embed_c2pa_png(png: bytes, manifest_store: dict) -> bytes:
@@ -131,6 +139,10 @@ def sniff_c2pa(raw: bytes) -> str | None:
     if not raw:
         return None
     if raw[:2] == b"\xff\xd8":  # JPEG: APP11 marker segments
+        # a large manifest spans SEVERAL APP11 segments (same En,
+        # incrementing Z) — collect every "JP" payload per En, reassemble
+        # in Z order, then parse the concatenated JUMBF stream
+        packages: dict[int, list[tuple[int, bytes]]] = {}
         off = 2
         while off + 4 <= len(raw) and raw[off] == 0xFF:
             marker = raw[off + 1]
@@ -141,12 +153,18 @@ def sniff_c2pa(raw: bytes) -> str | None:
             if marker == 0xEB:  # APP11
                 body = raw[off + 4:off + 2 + seglen]
                 if body[:2] == b"JP" and len(body) > 8:
-                    found = _parse_jumbf(body[8:])  # skip CI+En+Z
-                    if found is not None:
-                        return found
+                    en, z = struct.unpack_from(">HI", body, 2)
+                    packages.setdefault(en, []).append((z, body[8:]))
             if marker == 0xDA:  # entropy-coded data begins
                 break
             off += 2 + seglen
+        for en in sorted(packages):
+            stream = b"".join(
+                part for _, part in sorted(packages[en], key=lambda p: p[0])
+            )
+            found = _parse_jumbf(stream)
+            if found is not None:
+                return found
         return None
     if raw[:8] == b"\x89PNG\r\n\x1a\n":  # PNG: caBX chunk
         off = 8

@@ -71,11 +71,15 @@ def _describe(r, c):
         .when(r <= -0.4, F.lit("Moderate negative"))
         .otherwise(F.lit("Weak"))
     )
-    # format the RAW r, as the reference does: Java/C/Python %.2f all
-    # preserve the sign of a rounds-to-zero negative ("-0.00"), whereas a
-    # pre-round(r, 2) loses -0.0 on Spark but keeps it on DuckDB
+    # format_number (Java DecimalFormat, HALF_EVEN), not %s-format's %.2f
+    # (Java HALF_UP): Python's :.2f and DuckDB's printf round decimal ties
+    # to even, so an exactly-dyadic r like 0.625 must print "0.62" —
+    # format_string('%.2f', 0.625) prints "0.63" and diverges from both
+    # the reference and the oracle (measured). format_number also keeps
+    # "-0.00" for rounds-to-zero negatives, matching all three.
     return F.format_string(
-        "%s correlation (r=%.2f), co-occurred in %d documents", label, r, c
+        "%s correlation (r=%s), co-occurred in %d documents",
+        label, F.format_number(r, 2), c
     )
 
 
@@ -107,8 +111,10 @@ def entity_correlations(
     )
     bounded = entities is not None or top_k is not None
     if entities is not None:
+        # explicit schema: an empty entity list must yield an empty
+        # result, not a schema-inference ValueError
         elist = occ.sparkSession.createDataFrame(
-            [(e,) for e in entities], ["e"]
+            [(e,) for e in entities], "e string"
         )
         occ = occ.join(F.broadcast(elist), "e", "left_semi")
     elif top_k is not None:

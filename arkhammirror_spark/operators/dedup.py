@@ -252,8 +252,13 @@ def verified_neardup_pairs(
     bands: int = 32,
     rows: int = 4,
     threshold: float = 0.8,
+    bucket_cap: int = 5000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+
+    `bucket_cap` forwards to lsh_candidate_pairs' hot-bucket guard; a
+    capped bucket loses its kept-x-dropped pairs too (bounded recall by
+    design — audit with lsh_bucket_audit, disable with bucket_cap=None).
 
     Storage discipline (CLAUDE.md invariant 5): the RAW shingle frame is
     ~n× the corpus text and is never cached. Instead the slim HASHED frame
@@ -265,7 +270,7 @@ def verified_neardup_pairs(
     """
     sh = shingle_hashes(df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, bucket_cap)
     out = jaccard_for_pairs(cands, sh, id_col).where(
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")

@@ -37,8 +37,13 @@ def prepare_webtext_corpus(
     jaccard_threshold: float = 0.8,
     min_content_chars: int = 25,
     line_dedup_min_chars: int = 10,
+    neardup_bucket_cap: int = 5000,
 ) -> DataFrame:
-    """pages(url, html) → (url, text): the cleaned, deduplicated corpus."""
+    """pages(url, html) → (url, text): the cleaned, deduplicated corpus.
+
+    `neardup_bucket_cap` forwards to the MinHash-LSH hot-bucket guard
+    (bounded near-dup recall in pathological boilerplate clusters;
+    None disables)."""
     from .boilerplate import extract_main_content
     from .dedup import dedup_lines, verified_neardup_pairs
     from .quality import gopher_quality
@@ -77,7 +82,8 @@ def prepare_webtext_corpus(
 
     # 5. MinHash-LSH near-dup: drop the larger url of every verified pair
     pairs = verified_neardup_pairs(
-        uniq, id_col="url", text_col="text", threshold=jaccard_threshold
+        uniq, id_col="url", text_col="text", threshold=jaccard_threshold,
+        bucket_cap=neardup_bucket_cap,
     )
     dropped = pairs.select(F.col("id_b").alias("url")).distinct()
     survivors = uniq.join(dropped, "url", "left_anti")

@@ -275,3 +275,25 @@ def test_extract_c2pa_operator_end_to_end(spark):
     assert out["unsigned"]["conf_level"] == "medium"
     assert not out["plain"]["has_c2pa"]
     assert out["plain"]["finding"] == "NO_C2PA"
+
+
+def test_multisegment_app11_reassembly():
+    """A manifest bigger than one 64KB APP11 segment must split on embed
+    and reassemble on sniff (real signed manifests routinely exceed one
+    segment)."""
+    big = dict(MANIFEST_OPENAI)
+    big["manifests"] = dict(big["manifests"])
+    big["manifests"]["m1"] = dict(big["manifests"]["m1"])
+    # ~150 KB of ingredient rows -> 3 APP11 segments
+    big["manifests"]["m1"]["ingredients"] = [
+        {"title": f"src{i:05d}.png" + "x" * 40, "format": "image/png",
+         "instance_id": f"i{i}"}
+        for i in range(2000)
+    ]
+    raw = embed_c2pa_jpeg(_base_jpeg(), big)
+    assert raw.count(b"\xff\xeb") >= 3
+    got = sniff_c2pa(raw)
+    assert got is not None
+    assert json.loads(got) == big
+    fields = extract_manifest_fields(json.loads(got))
+    assert len(fields["ingredients"]) == 2000

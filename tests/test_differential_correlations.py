@@ -254,3 +254,44 @@ def test_spearman_int_cast_quirk_differs_from_true_spearman(patterns_ref):
                     * sum((b - my) ** 2 for b in ry))
     true_s = num / den
     assert ref != pytest.approx(true_s, abs=1e-6)
+
+
+def test_description_dyadic_tie_rounds_to_even(spark, patterns_ref):
+    """r = 0.625 exactly (n=12, a=4, b=4, c=3): the reference's Python
+    :.2f prints '0.62' (decimal tie to even); Spark must match — Java's
+    %s-format %.2f would print '0.63' (HALF_UP), which is why the
+    operator formats via format_number."""
+    from arkhammirror_spark.operators.correlations import entity_correlations
+
+    docs_a = {0, 1, 2, 3}
+    docs_b = {1, 2, 3, 4}
+    rows = [(d, "aa") for d in docs_a] + [(d, "bb") for d in docs_b]
+    # pads are REQUESTED single-doc entities: they stretch the union to
+    # 12 docs (the reference unions the requested entities' docs) but
+    # form no pair with c >= 2
+    rows += [(d, f"pad{d}") for d in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "entity_text"])
+    req = ["aa", "bb"] + [f"pad{d}" for d in range(12)]
+    got = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in entity_correlations(
+            df, entities=req, min_occurrences=2
+        ).collect()
+    }
+    r = got[("aa", "bb")]
+    assert r["correlation_score"] == pytest.approx(0.625)
+    ref = _ref_pearson(patterns_ref, 
+                       [1 if d in docs_a else 0 for d in range(12)],
+                       [1 if d in docs_b else 0 for d in range(12)])
+    assert ref == pytest.approx(0.625)
+    expected = (f"Moderate positive correlation (r={ref:.2f}), "
+                "co-occurred in 3 documents")
+    assert r["description"] == expected
+    assert "(r=0.62)" in r["description"]
+
+
+def test_empty_entity_list_returns_empty(spark):
+    from arkhammirror_spark.operators.correlations import entity_correlations
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "entity_text"])
+    assert entity_correlations(df, entities=[], min_occurrences=1).count() == 0
