@@ -255,7 +255,17 @@ MERGES: dict[str, tuple[list, list]] = {
            "description": "description", "n_docs": "n_docs"}),
          ("spearman", "spearman_corr",
           {"group_id": "group_id", "spearman": "spearman",
-           "n_docs": "n"})],
+           "n_docs": "n"}),
+         ("recurring", "recurring_patterns",
+          {"entity_a": "name", "entity_b": "word",
+           "correlation_score": "confidence",
+           "co_occurrence_count": "n_occurrences",
+           "description": "description"}),
+         ("matches", "pattern_doc_matches",
+          {"entity_a": "pattern_name", "group_id": "doc_id",
+           "correlation_score": "match_score",
+           "co_occurrence_count": "start_char", "n_events": "end_char",
+           "description": "excerpt"})],
     ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),

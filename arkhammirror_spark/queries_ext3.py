@@ -1182,3 +1182,100 @@ scored AS (
 )
 SELECT g::BIGINT AS group_id, round(r, 6) AS spearman, n FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyword pattern detection + pattern-vs-document matching (patterns
+# shard.py:1588-1650) — full SQL mirrors: same whitespace split, >4-char
+# words, count>=5 / conf=min(n/20,1) gates, FIRST-APPEARANCE top-10
+# (encoded min(doc*1e6+pos) == Spark's min(struct(doc,pos)) since every
+# doc has far fewer than 1e6 words), strpos/instr + substring excerpts.
+# ---------------------------------------------------------------------------
+
+_RECURRING_CTE = """
+WITH wordsrc AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, g.i AS i, ws[g.i] AS w
+  FROM wordsrc, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+  WHERE ws[g.i] <> '' AND length(ws[g.i]) > 4
+),
+counts AS (
+  SELECT w AS word, count(*) AS n,
+         min(doc_id * 1000000 + (i - 1)) AS firstkey
+  FROM tok GROUP BY w
+),
+kept AS (
+  SELECT word, n, least(n::DOUBLE / 20.0, 1.0::DOUBLE) AS confidence,
+         firstkey
+  FROM counts
+  WHERE n >= 5 AND least(n::DOUBLE / 20.0, 1.0::DOUBLE) >= 0.25
+),
+pats AS (SELECT * FROM kept ORDER BY firstkey LIMIT 10)
+"""
+
+
+@register("recurring_patterns", None)  # oracle below
+def q_recurring_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.patterns import detect_recurring_patterns
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = detect_recurring_patterns(d, min_confidence=0.25)
+    return out.select(
+        "name",
+        "description",
+        "word",
+        "n_occurrences",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+ORACLE_EXT3["recurring_patterns"] = _RECURRING_CTE + """
+SELECT 'Recurring: ' || word AS name,
+       printf('The term ''%s'' appears %d times', word, n) AS description,
+       word, n::BIGINT AS n_occurrences,
+       round(confidence, 6) AS confidence
+FROM pats
+"""
+
+
+@register("pattern_doc_matches", None)  # oracle below
+def q_pattern_doc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.patterns import (
+        detect_recurring_patterns,
+        match_patterns_to_docs,
+    )
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pats = detect_recurring_patterns(d, min_confidence=0.25).select(
+        "name", F.array("word").alias("keywords")
+    )
+    out = match_patterns_to_docs(pats, d)
+    return out.select(
+        "pattern_name",
+        F.col("doc").cast("long").alias("doc_id"),
+        "match_score",
+        "start_char",
+        "end_char",
+        "excerpt",
+    )
+
+
+ORACLE_EXT3["pattern_doc_matches"] = _RECURRING_CTE + """
+, hits AS (
+  SELECT 'Recurring: ' || p.word AS pattern_name, d.doc_id, d.text,
+         p.word, strpos(lower(d.text), p.word) AS sp
+  FROM documents d CROSS JOIN pats p
+  WHERE strpos(lower(d.text), p.word) > 0
+)
+SELECT pattern_name, doc_id, 0.8::DOUBLE AS match_score,
+       (sp - 1)::BIGINT AS start_char,
+       (sp - 1 + length(word))::BIGINT AS end_char,
+       substring(text, greatest(0, sp - 1 - 100) + 1,
+                 least(length(text), sp - 1 + length(word) + 100)
+                   - greatest(0, sp - 1 - 100)) AS excerpt
+FROM hits
+"""

@@ -52,7 +52,16 @@ def patterns_ref():
         "PatternMatch", "PatternMatchCreate", "PatternStatistics",
         "PatternStatus", "PatternType", "SourceType",
     ]:
-        setattr(models, name, _AnyAttr(name, (), {}))
+        setattr(
+            models, name,
+            _AnyAttr(name, (), {
+                # kwargs-storing __init__: model objects (Pattern,
+                # PatternCriteria, PatternMatch) are constructed by the
+                # keyword-detection code paths under test
+                "__init__":
+                    lambda self, **kw: self.__dict__.update(kw),
+            }),
+        )
     sys.modules.setdefault("arkham_shard_patterns.models", models)
     spec = importlib.util.spec_from_file_location(
         "arkham_shard_patterns.shard", SHARD
@@ -295,3 +304,117 @@ def test_empty_entity_list_returns_empty(spark):
 
     df = spark.createDataFrame([(1, "a")], ["doc_id", "entity_text"])
     assert entity_correlations(df, entities=[], min_occurrences=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# keyword pattern detection + matching (shard.py:1588-1650)
+# ---------------------------------------------------------------------------
+
+_PATTERN_DOCS = [
+    (1, "Alpha budget budget Budget report filed. The budget meeting "
+        "covered budget overruns and budget projections thoroughly "
+        "again thoroughly thoroughly thoroughly thoroughly noted"),
+    (2, "Second phase second-phase review: projections projections "
+        "projections projections projections with short word noise a b"),
+    (3, "budget addendum mentions projections once more and thoroughly."),
+]
+
+
+def _ref_detect(patterns_ref, text, min_confidence):
+    """Run the ACTUAL _detect_patterns_keywords with create_pattern
+    captured (the real one writes to the shard DB)."""
+    import asyncio
+
+    w = _shard(patterns_ref)
+    created = []
+
+    async def fake_create_pattern(**kw):
+        created.append(kw)
+        return kw
+
+    w.create_pattern = fake_create_pattern
+    return asyncio.run(w._detect_patterns_keywords(text, min_confidence))
+
+
+def test_keyword_detection_matches_reference(spark, patterns_ref):
+    from arkhammirror_spark.operators.patterns import (
+        detect_recurring_patterns,
+    )
+
+    # the reference analyzes one blob: docs joined in id order
+    blob = ""
+    for _, t in sorted(_PATTERN_DOCS):
+        blob += "\n\n" + t
+    ref = _ref_detect(patterns_ref, blob, min_confidence=0.0)
+
+    df = spark.createDataFrame(_PATTERN_DOCS, ["doc_id", "text"])
+    got = detect_recurring_patterns(df, min_confidence=0.0).collect()
+
+    assert [r["name"] for r in got] == [p["name"] for p in ref]
+    for g, p in zip(got, ref):
+        assert g["description"] == p["description"]
+        assert g["confidence"] == pytest.approx(p["confidence"])
+        assert g["n_occurrences"] == p["criteria"].min_occurrences
+
+
+def test_keyword_detection_confidence_floor_and_first_order(
+    spark, patterns_ref
+):
+    """min_confidence prunes on BOTH sides identically, and the kept
+    patterns preserve first-appearance order (the reference's dict
+    insertion order), not count order."""
+    from arkhammirror_spark.operators.patterns import (
+        detect_recurring_patterns,
+    )
+
+    blob = ""
+    for _, t in sorted(_PATTERN_DOCS):
+        blob += "\n\n" + t
+    ref = _ref_detect(patterns_ref, blob, min_confidence=0.3)
+    df = spark.createDataFrame(_PATTERN_DOCS, ["doc_id", "text"])
+    got = detect_recurring_patterns(df, min_confidence=0.3).collect()
+    assert [r["name"] for r in got] == [p["name"] for p in ref]
+    assert len(got) > 0
+
+
+def test_pattern_match_against_text_matches_reference(spark, patterns_ref):
+    import asyncio
+
+    from arkhammirror_spark.operators.patterns import match_patterns_to_docs
+
+    models = sys.modules["arkham_shard_patterns.models"]
+    w = _shard(patterns_ref)
+
+    pats = [
+        ("p-budget", ["missing", "budget"]),   # second keyword wins
+        ("p-proj", ["projections"]),
+        ("p-none", ["absentterm"]),
+    ]
+    pdf = spark.createDataFrame(
+        [(n, kws) for n, kws in pats], "name string, keywords array<string>"
+    )
+    ddf = spark.createDataFrame(_PATTERN_DOCS, ["doc_id", "text"])
+    got = {
+        (r["pattern_name"], r["doc"]): r
+        for r in match_patterns_to_docs(pdf, ddf).collect()
+    }
+
+    expected_keys = set()
+    for name, kws in pats:
+        pattern = models.Pattern(
+            id=name, criteria=models.PatternCriteria(keywords=kws)
+        )
+        for doc_id, text in _PATTERN_DOCS:
+            ref = asyncio.run(
+                w._match_pattern_against_text(pattern, text)
+            )
+            if ref is None:
+                assert (name, doc_id) not in got
+                continue
+            expected_keys.add((name, doc_id))
+            g = got[(name, doc_id)]
+            assert g["match_score"] == ref.match_score
+            assert g["start_char"] == ref.start_char
+            assert g["end_char"] == ref.end_char
+            assert g["excerpt"] == ref.excerpt
+    assert set(got) == expected_keys
