@@ -83,10 +83,12 @@ MERGES: dict[str, tuple[list, list]] = {
            "confidence": "confidence"})],
     ),
     "simhash_neardup": (
-        [("id_a", _B), ("id_b", _B), ("val", _B)],
+        [("id_a", _B), ("id_b", _B), ("val", _B), ("bits", _S)],
         [("sig", "simhash_fingerprint", {"id_a": "doc_id", "val": "simhash"}),
          ("pair", "simhash_hamming_pairs",
-          {"id_a": "id_a", "id_b": "id_b", "val": "hamming"})],
+          {"id_a": "id_a", "id_b": "id_b", "val": "hamming"}),
+         ("ref64", "reference_simhash",
+          {"id_a": "doc_id", "bits": "simhash_bits"})],
     ),
     "graph_node_labels": (
         [("name", _S), ("label", _S), ("size", _B)],

@@ -510,3 +510,91 @@ def simhash_neardup(
     within Hamming k shares at least one of the k+1 bands)."""
     sigs = simhash64(df, id_col, text_col)
     return simhash_pairs_from_sigs(sigs, id_col, max_hamming=max_hamming)
+
+
+def simhash64_reference(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BYTE-PARITY 64-bit SimHash of the documents shard's own
+    implementation (arkham-shard-documents/services/deduplication.py:48-149),
+    fully native: lowercase + strip non-word/space chars (:75-77, Unicode
+    \\w via Java's (?U) flag to match Python's re), word unigrams +
+    bigrams + trigrams WITH duplicates (:78-94 — repeats weight the
+    accumulation), md5 first-8-bytes big-endian token hash (:96-108,
+    carried as two 32-bit halves so no unsigned-64 overflows ANSI mode),
+    MSB-first +-1 bit voting and MSB-first reassembly (:110-148), empty or
+    token-free text -> 0 (:121-127).
+
+    Output: (id, simhash BIGINT — same 64 bits as the reference's
+    unsigned int, reinterpreted signed — and simhash_bits, the 64-char
+    MSB-first bitstring both engines can compare without unsigned-shift
+    pitfalls). The signed simhash feeds simhash_pairs_from_sigs directly.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        r"(?U)[^\w\s]", ""
+    )
+    words = F.filter(
+        F.split(norm, r"(?U)\s+"), lambda w: F.length(w) > 0
+    )
+    grams2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    )
+    grams3 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    # sequence(1, 0) yields [1, 0] (descending) rather than empty: guard
+    # short docs by slicing to the true gram count
+    shingles = F.concat(
+        words,
+        F.when(F.size(words) >= 2,
+               F.slice(grams2, 1, F.size(words) - 1)
+               ).otherwise(F.array().cast("array<string>")),
+        F.when(F.size(words) >= 3,
+               F.slice(grams3, 1, F.size(words) - 2)
+               ).otherwise(F.array().cast("array<string>")),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(shingles).alias("tok")
+    )
+    md5 = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    aggs = []
+    for i in range(64):
+        bit = (
+            F.shiftright(hi, 31 - i) if i < 32 else F.shiftright(lo, 63 - i)
+        ).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}")
+        )
+    per = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    bits = []
+    for i in range(64):
+        set_i = F.col(f"v{i}") > 0
+        term = F.when(
+            set_i, F.shiftleft(F.lit(1).cast("long"), 63 - i)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+        bits.append(F.when(set_i, F.lit("1")).otherwise(F.lit("0")))
+    hashed = per.select(
+        F.col(id_col),
+        sim.alias("simhash"),
+        F.concat(*bits).alias("simhash_bits"),
+    )
+    # docs with zero shingles (empty/whitespace/normalized-away text)
+    # never reach the explode: reference returns 0 for them
+    return (
+        df.select(id_col)
+        .join(hashed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+            F.coalesce("simhash_bits", F.lit("0" * 64)).alias(
+                "simhash_bits"
+            ),
+        )
+    )

@@ -1279,3 +1279,70 @@ SELECT pattern_name, doc_id, 0.8::DOUBLE AS match_score,
                    - greatest(0, sp - 1 - 100)) AS excerpt
 FROM hits
 """
+
+
+# ---------------------------------------------------------------------------
+# Byte-parity reference SimHash (arkham-shard-documents/services/
+# deduplication.py:48-149) — full SQL mirror: same tokenizer (the corpus
+# text is ASCII, so RE2's \w == Python's), same uni/bi/tri-gram shingles
+# WITH duplicates, same md5 big-endian bits via two 32-bit halves, same
+# MSB-first +-1 voting; output as the 64-char bitstring (no unsigned-64
+# pitfalls on either engine).
+# ---------------------------------------------------------------------------
+
+
+@register("reference_simhash", None)  # oracle below
+def q_reference_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64_reference
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64_reference(d).select("doc_id", "simhash_bits")
+
+
+ORACLE_EXT3["reference_simhash"] = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^\w\s]', '', 'g') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM norm
+),
+sh AS (
+  SELECT doc_id, g.tok FROM w, LATERAL (
+    SELECT unnest(list_concat(list_concat(ws,
+      CASE WHEN len(ws) >= 2
+           THEN list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])
+           ELSE []::VARCHAR[] END),
+      CASE WHEN len(ws) >= 3
+           THEN list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+           ELSE []::VARCHAR[] END)) AS tok) g
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM sh
+),
+bitsum AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (CASE WHEN b.i < 32 THEN (hi >> (31 - b.i))
+                             ELSE (lo >> (63 - b.i)) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) b
+  GROUP BY doc_id, b.i
+),
+bitstr AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY i) AS bits
+  FROM bitsum GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(b.bits, repeat('0', 64)) AS simhash_bits
+FROM documents d LEFT JOIN bitstr b USING (doc_id)
+"""
