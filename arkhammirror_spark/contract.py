@@ -293,7 +293,8 @@ MERGES: dict[str, tuple[list, list]] = {
 
 # doc-keyed profile families merge as a JOIN, not a union
 PROFILE_JOIN = ("doc_profile", ["text_quality_flags", "lang_script_counts",
-                                "doc_fingerprint", "token_stats"])
+                                "doc_fingerprint", "token_stats",
+                                "doc_content_hashes"])
 
 
 def _merged_query(columns, parts) -> Callable[[SparkSession, str], DataFrame]:

@@ -598,3 +598,113 @@ def simhash64_reference(
             ),
         )
     )
+
+
+def content_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document content-hash record (documents shard's compute_hash,
+    deduplication.py:213-241): md5 + sha256 of the UTF-8 text, the
+    byte-parity reference SimHash, and the character length — all native
+    (F.md5/F.sha2 hash UTF-8 bytes exactly like text.encode('utf-8'),
+    F.length counts characters like Python len)."""
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        F.length(F.col(text_col)).cast("long").alias("text_length"),
+    )
+    sims = simhash64_reference(df, id_col, text_col)
+    return base.join(sims, id_col)
+
+
+def similar_documents(
+    hashes: DataFrame,
+    source_id,
+    threshold: float = 0.85,
+    limit: int = 20,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Documents similar to `source_id` by SimHash (deduplication.py's
+    find_similar_documents, :326-401): similarity = 1 - hamming/64,
+    filtered >= threshold (default 0.85, the service's config default,
+    :210), match_type exact (h=0) / near (h<=5) / content_similar,
+    similarity rounded to 4, strongest first.
+
+    The reference scans every hash in driver Python; this is the same
+    math as one filtered column expression over the hash table (the
+    banded join in simhash_pairs_from_sigs is the all-pairs analogue).
+    Ties at equal similarity order by id (the reference's stable sort
+    leaves them in unspecified DB row order)."""
+    src = hashes.where(F.col(id_col) == source_id).select(
+        F.col(sig_col).alias("_src_sig")
+    )
+    h = F.bit_count(F.col(sig_col).bitwiseXOR(F.col("_src_sig")))
+    sim = F.lit(1.0) - h.cast("double") / F.lit(64.0)
+    return (
+        hashes.where(F.col(id_col) != source_id)
+        .crossJoin(F.broadcast(src))
+        .withColumn("hamming_distance", h.cast("long"))
+        .withColumn("similarity_score", F.round(sim, 4))
+        .where(sim >= threshold)
+        .withColumn(
+            "match_type",
+            F.when(F.col("hamming_distance") == 0, "exact")
+            .when(F.col("hamming_distance") <= 5, "near")
+            .otherwise("content_similar"),
+        )
+        .select(
+            F.col(id_col).alias("document_id"),
+            "similarity_score",
+            "hamming_distance",
+            "match_type",
+        )
+        .orderBy(F.desc("similarity_score"), F.asc("document_id"))
+        .limit(limit)
+    )
+
+
+def duplicate_groups(
+    hashes: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Project-wide duplicate groups (deduplication.py's
+    scan_project_duplicates, :403-490): similarity >= threshold pairs,
+    grouped transitively; one row per member of each multi-member group
+    with its group primary.
+
+    Scale shape vs the reference: sim >= t is EXACTLY hamming <=
+    floor(64*(1-t)), so candidate pairs come from the Manku banded join
+    (never the reference's O(n^2) nested Python loops), and grouping is
+    min-label propagation (connected_components_distributed) instead of
+    driver union-find. Membership is identical (components of the same
+    graph); the PRIMARY is the lexicographic min member, where the
+    reference's sequential union-find primary is scan-path-dependent
+    (its merge rule keeps min(primary_ids), so the two agree whenever
+    every group-creation primary is its component's min id — the common
+    case; the differential test pins fixtures on both sides)."""
+    from .graph import connected_components_distributed
+
+    max_h = int(64 * (1.0 - threshold))
+    sigs = hashes.select(F.col(id_col), F.col(sig_col).alias("simhash"))
+    pairs = simhash_pairs_from_sigs(
+        sigs, id_col=id_col, sig_col="simhash", max_hamming=max_h
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("entity_a"),
+        F.col("id_b").cast("string").alias("entity_b"),
+    )
+    comp = connected_components_distributed(edges)
+    return (
+        comp.select(
+            F.col("component").alias("primary_document_id"),
+            F.col("name").alias("member_id"),
+        )
+        .withColumn("detection_method", F.lit("simhash"))
+        .withColumn(
+            "similarity_threshold", F.lit(float(threshold))
+        )
+    )

@@ -1346,3 +1346,31 @@ bitstr AS (
 SELECT d.doc_id, coalesce(b.bits, repeat('0', 64)) AS simhash_bits
 FROM documents d LEFT JOIN bitstr b USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-document content-hash record (documents shard compute_hash,
+# deduplication.py:213-241) — md5/sha256/length are native on both
+# engines; the SimHash member of the record is served by the
+# `reference_simhash` part (absorbed by simhash_neardup).
+# ---------------------------------------------------------------------------
+
+
+@register("doc_content_hashes", None)  # oracle below
+def q_doc_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.length("text").cast("long").alias("text_length"),
+    )
+
+
+ORACLE_EXT3["doc_content_hashes"] = """
+SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256,
+       length(text)::BIGINT AS text_length
+FROM documents
+"""

@@ -107,3 +107,115 @@ def test_null_text_is_zero(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = simhash64_reference(df).collect()[0]
     assert r["simhash"] == 0 and r["simhash_bits"] == "0" * 64
+
+
+# ---------------------------------------------------------------------------
+# DeduplicationService differential: find_similar_documents (:326-401)
+# and scan_project_duplicates (:403-490) with the service's DB stubbed to
+# our fixture rows, vs the native operators on the same hashes.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_TEXTS = [
+    ("a1", "the quarterly budget report was filed on time by the finance "
+           "team with full approval from management today"),
+    ("a2", "the quarterly budget report was filed on time by the finance "
+           "team with full approval from management yesterday"),
+    ("a3", "the quarterly budget report was filed late by the finance "
+           "team with full approval from management today"),
+    ("b1", "completely different subject matter about oceanic plankton "
+           "migration patterns in the southern hemisphere currents"),
+    ("b2", "completely different subject matter about oceanic plankton "
+           "migration patterns in the northern hemisphere currents"),
+    ("c1", "an unrelated singleton document concerning medieval "
+           "architecture and cathedral restoration techniques"),
+]
+
+
+@pytest.fixture(scope="module")
+def dedup_service():
+    spec = importlib.util.spec_from_file_location("_ref_dedup2", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sim = mod.SimHash()
+    rows = [
+        {"document_id": did, "simhash": sim.compute(t), "title": did,
+         "created_at": i}
+        for i, (did, t) in enumerate(_CLUSTER_TEXTS)
+    ]
+
+    class _Db:
+        async def fetch_one(self, q, p):
+            for r in rows:
+                if r["document_id"] == p["doc_id"]:
+                    return r
+            return None
+
+        async def fetch_all(self, q, p):
+            if "source_id" in p:
+                return [r for r in rows
+                        if r["document_id"] != p["source_id"]]
+            return rows
+
+    svc = mod.DeduplicationService(_Db())
+    return mod, svc, rows
+
+
+def test_similar_documents_matches_reference(spark, dedup_service):
+    import asyncio
+
+    from arkhammirror_spark.operators.dedup import (
+        content_hashes,
+        similar_documents,
+    )
+
+    mod, svc, rows = dedup_service
+    df = spark.createDataFrame(_CLUSTER_TEXTS, ["doc_id", "text"])
+    hashes = content_hashes(df).localCheckpoint(eager=True)
+    # the signed operator simhash carries the same 64 bits as the
+    # reference's unsigned value
+    by_id = {r["doc_id"]: r for r in hashes.collect()}
+    for r in rows:
+        u = r["simhash"]
+        assert by_id[r["document_id"]]["simhash"] == (
+            u - (1 << 64) if u >= (1 << 63) else u
+        )
+
+    for source in ("a1", "b1", "c1"):
+        ref = asyncio.run(svc.find_similar_documents(source, threshold=0.8))
+        got = similar_documents(hashes, source, threshold=0.8).collect()
+        assert [g["document_id"] for g in got] == [
+            m.document_id for m in ref
+        ], source
+        for g, m in zip(got, ref):
+            assert g["similarity_score"] == m.similarity_score
+            assert g["hamming_distance"] == m.hamming_distance
+            assert g["match_type"] == m.match_type
+
+
+def test_duplicate_groups_match_reference_scan(spark, dedup_service):
+    import asyncio
+
+    from arkhammirror_spark.operators.dedup import (
+        content_hashes,
+        duplicate_groups,
+    )
+
+    mod, svc, rows = dedup_service
+    ref_groups = asyncio.run(
+        svc.scan_project_duplicates("p", threshold=0.8)
+    )
+    ref = {
+        g.primary_document_id: sorted([g.primary_document_id]
+                                      + g.duplicate_ids)
+        for g in ref_groups
+    }
+
+    df = spark.createDataFrame(_CLUSTER_TEXTS, ["doc_id", "text"])
+    hashes = content_hashes(df)
+    got_rows = duplicate_groups(hashes, threshold=0.8).collect()
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r["primary_document_id"], []).append(r["member_id"])
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == ref  # memberships AND primaries agree on this corpus
+    assert all(r["detection_method"] == "simhash" for r in got_rows)
