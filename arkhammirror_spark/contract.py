@@ -88,7 +88,9 @@ MERGES: dict[str, tuple[list, list]] = {
          ("pair", "simhash_hamming_pairs",
           {"id_a": "id_a", "id_b": "id_b", "val": "hamming"}),
          ("ref64", "reference_simhash",
-          {"id_a": "doc_id", "bits": "simhash_bits"})],
+          {"id_a": "doc_id", "bits": "simhash_bits"}),
+         ("groups", "simhash_duplicate_groups",
+          {"id_a": "primary_id", "id_b": "member_id"})],
     ),
     "graph_node_labels": (
         [("name", _S), ("label", _S), ("size", _B)],

@@ -1300,10 +1300,15 @@ def q_reference_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_reference(d).select("doc_id", "simhash_bits")
 
 
-ORACLE_EXT3["reference_simhash"] = r"""
-WITH norm AS (
+def _simhash_bits_cte(src: str) -> str:
+    """CTE chain <src>(doc_id, text) -> bitstr(doc_id, bits): the full
+    SQL mirror of simhash64_reference (same tokenizer, shingles with
+    duplicates, md5 big-endian bits via two 32-bit halves, MSB-first
+    voting)."""
+    return r"""
+norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^\w\s]', '', 'g') AS t
-  FROM documents
+  FROM {src}
 ),
 w AS (
   SELECT doc_id,
@@ -1343,9 +1348,15 @@ bitstr AS (
                     ORDER BY i) AS bits
   FROM bitsum GROUP BY doc_id
 )
+""".replace("{src}", src)
+
+
+ORACLE_EXT3["reference_simhash"] = (
+    "WITH" + _simhash_bits_cte("documents") + """
 SELECT d.doc_id, coalesce(b.bits, repeat('0', 64)) AS simhash_bits
 FROM documents d LEFT JOIN bitstr b USING (doc_id)
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1374,3 +1385,78 @@ SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256,
        length(text)::BIGINT AS text_length
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash duplicate groups over a planted near-dup corpus: doc_id%3
+# variants of each anchor doc differ by one appended word (hamming << 12
+# within a triplet, ~32 across), so the threshold-0.8 groups are the
+# triplets. Spark runs the Manku banded join + distributed min-label
+# components; the oracle brute-forces hamming over the bitstrings and
+# resolves components with a recursive CTE — ids zero-padded on the
+# Spark side so the string-min component label equals the numeric min.
+# ---------------------------------------------------------------------------
+
+
+@register("simhash_duplicate_groups", None)  # oracle below
+def q_simhash_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import content_hashes, duplicate_groups
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("base"), F.col("text").alias("atext")
+    )
+    derived = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") - F.col("doc_id") % 3).alias("base"),
+        )
+        .join(anchors, "base")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("atext"), F.lit(" variant"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+    )
+    # checkpoint the small derived frame: without it the anchor join +
+    # concat subtree inlines into all 64 simhash aggregates and blows the
+    # 64KB whole-stage codegen method limit (interpreted fallback, ~5x)
+    padded = derived.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_id"),
+        "text",
+    ).localCheckpoint(eager=False)
+    groups = duplicate_groups(content_hashes(padded), threshold=0.8)
+    return groups.select(
+        F.col("primary_document_id").cast("long").alias("primary_id"),
+        F.col("member_id").cast("long").alias("member_id"),
+    )
+
+
+ORACLE_EXT3["simhash_duplicate_groups"] = (
+    """WITH RECURSIVE derived AS (
+  SELECT v.doc_id, a.text || ' variant' || (v.doc_id % 3)::VARCHAR AS text
+  FROM documents v JOIN documents a ON a.doc_id = v.doc_id - v.doc_id % 3
+),"""
+    + _simhash_bits_cte("derived")
+    + """,
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bitstr x JOIN bitstr y ON x.doc_id < y.doc_id
+  WHERE len(list_filter(generate_series(1, 64),
+                        i -> x.bits[i] <> y.bits[i])) <= 12
+),
+nodes AS (SELECT a AS n FROM pairs UNION SELECT b AS n FROM pairs),
+edges2 AS (SELECT a AS s, b AS d FROM pairs
+           UNION ALL SELECT b AS s, a AS d FROM pairs),
+cc(n, c) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.d, cc.c FROM cc JOIN edges2 e ON cc.n = e.s
+),
+comp AS (SELECT n, min(c) AS c FROM cc GROUP BY n)
+SELECT c::BIGINT AS primary_id, n::BIGINT AS member_id FROM comp
+"""
+)
