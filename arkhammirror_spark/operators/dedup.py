@@ -696,7 +696,14 @@ def duplicate_groups(
     from .graph import connected_components_distributed
 
     max_h = int(64 * (1.0 - threshold))
-    sigs = hashes.select(F.col(id_col), F.col(sig_col).alias("simhash"))
+    # slim (id, long) checkpoint: the banded SELF-join reads this frame
+    # on both sides and the component loop's symmetric-edge frame reads
+    # the join again — without truncation the 64-aggregate simhash
+    # subtree recomputes 3-4x through that lineage (invariant 5; the
+    # measured shingle-recompute lesson)
+    sigs = hashes.select(
+        F.col(id_col), F.col(sig_col).alias("simhash")
+    ).localCheckpoint(eager=False)
     # k+1 blocks, not the k+3 combo default: at the large k a similarity
     # threshold implies (k = 12 at t = 0.8), C(k+3, 3) explodes into
     # hundreds of keys per row while C(k+1, 1) = k+1 keys of ~59 bits

@@ -1403,7 +1403,14 @@ def q_simhash_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import content_hashes, duplicate_groups
     from .queries import _load
 
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture cap: 1500 docs (500 triplets) exercises the full path at
+    # every gate scale (sf<=0.01 passes all docs) without paying the
+    # whole-corpus simhash in the sf0.1 sweep; the component loop's
+    # per-round job overhead (~12 s flat, scale-independent) dominates
+    # the entry's wall either way
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 1500
+    )
     anchors = d.where(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("base"), F.col("text").alias("atext")
     )
@@ -1439,6 +1446,7 @@ ORACLE_EXT3["simhash_duplicate_groups"] = (
     """WITH RECURSIVE derived AS (
   SELECT v.doc_id, a.text || ' variant' || (v.doc_id % 3)::VARCHAR AS text
   FROM documents v JOIN documents a ON a.doc_id = v.doc_id - v.doc_id % 3
+  WHERE v.doc_id < 1500
 ),"""
     + _simhash_bits_cte("derived")
     + """,
