@@ -418,3 +418,49 @@ def test_pattern_match_against_text_matches_reference(spark, patterns_ref):
             assert g["end_char"] == ref.end_char
             assert g["excerpt"] == ref.excerpt
     assert set(got) == expected_keys
+
+
+def test_entity_correlations_fuzz_rounds(spark, patterns_ref):
+    """Three more randomized rounds at varying densities — degenerate
+    all-docs entities, singleton entities, disjoint halves."""
+    for seed, n_entities, n_docs in [(11, 8, 15), (23, 15, 80), (31, 6, 200)]:
+        rng = random.Random(seed)
+        entities = [f"x{i:02d}" for i in range(n_entities)]
+        entity_docs = {}
+        rows = []
+        for idx, e in enumerate(entities):
+            if idx == 0:
+                chosen = set(range(n_docs))       # zero-variance vector
+            elif idx == 1:
+                chosen = {rng.randrange(n_docs)}  # singleton
+            else:
+                k = rng.randint(1, n_docs)
+                chosen = set(rng.sample(range(n_docs), k))
+            entity_docs[e] = chosen
+            rows.extend((d, e) for d in chosen)
+        all_docs = set().union(*entity_docs.values())
+        if len(all_docs) < 2:
+            continue
+        expected = _ref_find_correlations(
+            patterns_ref, entity_docs, all_docs, min_occurrences=1
+        )
+        from arkhammirror_spark.operators.correlations import (
+            entity_correlations,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "entity_text"])
+        got = {
+            (r["entity_a"], r["entity_b"]): r
+            for r in entity_correlations(
+                df, entities=entities, min_occurrences=1
+            ).collect()
+        }
+        exp = {(e["entity_a"], e["entity_b"]): e for e in expected}
+        assert set(got) == set(exp), seed
+        for key, e in exp.items():
+            g = got[key]
+            assert g["correlation_score"] == pytest.approx(
+                e["score"], abs=1e-9
+            ), (seed, key)
+            assert g["correlation_type"] == e["type"], (seed, key)
+            assert g["description"] == e["description"], (seed, key)

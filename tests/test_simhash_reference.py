@@ -219,3 +219,33 @@ def test_duplicate_groups_match_reference_scan(spark, dedup_service):
     got = {k: sorted(v) for k, v in got.items()}
     assert got == ref  # memberships AND primaries agree on this corpus
     assert all(r["detection_method"] == "simhash" for r in got_rows)
+
+
+def test_simhash_byte_parity_unicode_fuzz(spark, simhash_ref):
+    """Unicode-heavy fuzz: the (?U)-flagged Java regex must track
+    Python's unicode \\w on letters beyond ASCII, CJK, combining marks,
+    and unicode whitespace."""
+    rng = random.Random(77)
+    pools = [
+        "àéîõüçñß", "αβγδεζ", "абвгде", "中文字符処理", "ひらがな",
+        string.ascii_letters, string.digits, "—…«»™©!?.,;:",
+        "   \t",  # unicode + ascii whitespace
+    ]
+    texts = []
+    for _ in range(25):
+        n = rng.randint(0, 40)
+        words = []
+        for _ in range(n):
+            pool = rng.choice(pools)
+            words.append("".join(rng.choice(pool)
+                                 for _ in range(rng.randint(1, 8))))
+        texts.append(" ".join(words))
+    from arkhammirror_spark.operators.dedup import simhash64_reference
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in simhash64_reference(df).collect()}
+    for i, text in enumerate(texts):
+        ref_u = simhash_ref.compute(text)
+        assert got[i]["simhash"] == _to_signed(ref_u), (i, repr(text))
