@@ -530,6 +530,8 @@ def simhash64_reference(
     MSB-first bitstring both engines can compare without unsigned-shift
     pitfalls). The signed simhash feeds simhash_pairs_from_sigs directly.
     """
+    from pyspark.sql import Window
+
     norm = F.regexp_replace(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))),
         r"(?U)[^\w\s]", ""
@@ -537,51 +539,74 @@ def simhash64_reference(
     words = F.filter(
         F.split(norm, r"(?U)\s+"), lambda w: F.length(w) > 0
     )
-    grams2 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    # Build n-grams ROW-WISE, not with array higher-order functions: the
+    # lambda-bearing transform/slice gram expressions referenced `words`
+    # (a full-text regexp_replace + split) a dozen times, and Catalyst does
+    # not CSE across lambda functions — the per-doc tokenize ran ~10x per
+    # row (measured 4.9 s warm just to EXPLODE 244k shingles from 1.5k
+    # docs). Here the word array is built once inside the posexplode, and
+    # bigrams/trigrams are lead()-window concats over the word rows. The
+    # multiset of shingles is identical (vote sums are commutative, and
+    # duplicates are preserved), so byte parity holds. The window's
+    # doc-keyed shuffle is REUSED by the downstream vote groupBy — no
+    # net extra exchange.
+    win = Window.partitionBy(id_col).orderBy("pos")
+    word_rows = (
+        df.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+        .withColumn("w2", F.lead("w", 1).over(win))
+        .withColumn("w3", F.lead("w", 2).over(win))
     )
-    grams3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
-    )
-    # sequence(1, 0) yields [1, 0] (descending) rather than empty: guard
-    # short docs by slicing to the true gram count
-    shingles = F.concat(
-        words,
-        F.when(F.size(words) >= 2,
-               F.slice(grams2, 1, F.size(words) - 1)
-               ).otherwise(F.array().cast("array<string>")),
-        F.when(F.size(words) >= 3,
-               F.slice(grams3, 1, F.size(words) - 2)
-               ).otherwise(F.array().cast("array<string>")),
+    grams = F.array(
+        F.col("w"),
+        F.when(
+            F.col("w2").isNotNull(), F.concat_ws(" ", "w", "w2")
+        ),
+        F.when(
+            F.col("w3").isNotNull(), F.concat_ws(" ", "w", "w2", "w3")
+        ),
     )
     md5 = F.md5(F.col("tok"))
     # stage hi/lo through a PROJECTION: aggregate expressions are not
     # common-subexpression-eliminated across each other, so referencing
     # the md5/conv chain inside all 64 sums would recompute it 64x per
     # shingle (measured 13 s -> ~2 s at 500 docs)
-    toks = df.select(
-        F.col(id_col), F.explode(shingles).alias("tok")
-    ).select(
+    toks = word_rows.select(
+        F.col(id_col), F.explode(grams).alias("tok")
+    ).where(F.col("tok").isNotNull()).select(
         id_col,
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    aggs = []
-    for i in range(64):
-        bit = (
-            F.shiftright(F.col("hi"), 31 - i) if i < 32
-            else F.shiftright(F.col("lo"), 63 - i)
-        ).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}")
+    # The reference's vote v_i = Σ(+1 if bit else −1) equals 2·S_i − N where
+    # S_i = Σ bit_i and N = shingle count, so summing the RAW BITS preserves
+    # byte parity while dropping the per-element compare/branch. Bits i and
+    # i+32 share the same shift s = 31−i (hi vs lo), so each sum packs the
+    # two counters into one long (S_i low 32 bits, S_{i+32} high): 32
+    # aggregate buffers instead of 64 halves the hash-agg update loop.
+    # Exact while S_i < 2^32 — i.e. up to 4·10⁹ shingles per document, far
+    # beyond any real document (a carry would need a single doc with more
+    # shingles than a 100 TB corpus has docs).
+    aggs = [F.count(F.lit(1)).alias("n_sh")]
+    for i in range(32):
+        s = 31 - i
+        packed = (
+            F.shiftright(F.col("hi"), s).bitwiseAND(F.lit(1))
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("lo"), s).bitwiseAND(F.lit(1)), 32
+                )
+            )
         )
+        aggs.append(F.sum(packed).alias(f"p{i}"))
     per = toks.groupBy(id_col).agg(*aggs)
     sim = None
     bits = []
     for i in range(64):
-        set_i = F.col(f"v{i}") > 0
+        p = F.col(f"p{i if i < 32 else i - 32}")
+        s_i = (
+            p.bitwiseAND(F.lit(0xFFFFFFFF)) if i < 32 else F.shiftright(p, 32)
+        )
+        set_i = s_i * 2 > F.col("n_sh")  # v_i = 2·S_i − N > 0
         term = F.when(
             set_i, F.shiftleft(F.lit(1).cast("long"), 63 - i)
         ).otherwise(F.lit(0).cast("long"))
@@ -715,7 +740,11 @@ def duplicate_groups(
     edges = pairs.select(
         F.col("id_a").cast("string").alias("entity_a"),
         F.col("id_b").cast("string").alias("entity_b"),
-    )
+    ).localCheckpoint(eager=True)
+    # near-dup pair frames are FAR smaller than the corpus (output-bound
+    # banded join), so materializing them once keeps the component loop —
+    # whose fast path probes the edge count and whose distributed loop
+    # reads the frame every round — from re-running the banded join
     comp = connected_components_distributed(edges)
     return (
         comp.select(

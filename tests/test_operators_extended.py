@@ -119,6 +119,45 @@ class TestGraph:
         assert shortest_path(edges, "a", "c") in (["a", "c"],)
         assert shortest_path(edges, "a", "y") is None
 
+    def test_components_driver_fastpath_matches_distributed(self, spark):
+        """The small-graph union-find fast path and the distributed
+        min-label loop must produce identical (name, component) labels on
+        a chain-heavy random graph (chains exercise the pointer-doubling
+        shortcut; driver_cap below the edge count forces the loop)."""
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        # three long chains (diameter >> 1) plus random cross links
+        for c in range(3):
+            ns = [f"c{c}_{i:02d}" for i in range(20)]
+            rows += [(ns[i], ns[i + 1]) for i in range(19)]
+        all_nodes = sorted({n for r in rows for n in r})
+        for _ in range(15):
+            a, b = rng.sample(all_nodes, 2)
+            rows.append((a, b))
+        edges = spark.createDataFrame(
+            rows, "entity_a: string, entity_b: string"
+        )
+        fast = {
+            r["name"]: r["component"]
+            for r in connected_components_distributed(edges).collect()
+        }
+        dist = {
+            r["name"]: r["component"]
+            for r in connected_components_distributed(
+                edges, driver_cap=None
+            ).collect()
+        }
+        assert fast == dist
+        forced = {
+            r["name"]: r["component"]
+            for r in connected_components_distributed(
+                edges, driver_cap=10
+            ).collect()
+        }
+        assert forced == dist
+
     def test_betweenness_distributed_matches_driver_side(self, spark):
         """Source-parallel betweenness must give the exact per-node scores
         of graph_algorithms.betweenness_centrality (same per-source transit
