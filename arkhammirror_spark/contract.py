@@ -271,6 +271,13 @@ MERGES: dict[str, tuple[list, list]] = {
            "co_occurrence_count": "start_char", "n_events": "end_char",
            "description": "excerpt"})],
     ),
+    "neardup_jaccard": (
+        [("id_a", _B), ("id_b", _B), ("jaccard", _D)],
+        [("exact", "neardup_jaccard",
+          {"id_a": "id_a", "id_b": "id_b", "jaccard": "jaccard"}),
+         ("capped", "neardup_jaccard_capped",
+          {"id_a": "id_a", "id_b": "id_b", "jaccard": "jaccard"})],
+    ),
     "media_features": (
         [("media_id", _S), ("width", _I), ("height", _I), ("f_mean", _D),
          ("f_std", _D), ("f_min", _D), ("f_max", _D), ("f_median", _D),

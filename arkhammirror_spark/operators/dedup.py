@@ -277,19 +277,52 @@ def verified_neardup_pairs(
     return out
 
 
+def hot_shingles(
+    sh: DataFrame, id_col: str = "doc_id", df_cap: int = 1000
+) -> DataFrame:
+    """Audit frame for the df-cap: (h, df) of every shingle whose document
+    frequency exceeds `df_cap` — the shingles `ngram_jaccard_pairs`
+    excludes when called with the same cap. The sum of df*(df-1)/2 over
+    this frame is exactly the number of join rows the cap avoided."""
+    return (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Brute-force exact Jaccard pairs via shared-shingle join (oracle path).
 
     Same slim-hashed-checkpoint discipline as verified_neardup_pairs: the
     text-explode runs once; only (id, h) longs are stored.
+
+    Hot-shingle guard: the shared-shingle join emits O(df²) rows for a
+    shingle present in df documents, so ONE boilerplate shingle (a cookie
+    banner, a license header) shared by a million docs would dominate the
+    join — the same skew shape lsh_candidate_pairs caps per bucket. With
+    `df_cap` set, shingles whose document frequency exceeds the cap are
+    excluded from BOTH the intersection and the sizes, i.e. the result is
+    the EXACT Jaccard over the df-filtered shingle universe (the standard
+    stopword treatment: corpus-wide boilerplate carries no similarity
+    signal, so dropping it consistently from numerator and denominator is
+    a semantics choice, not an approximation error — and it is mirrored
+    verbatim in the DuckDB oracle). Join fan-out is then bounded by
+    df_cap per shingle. Audit the dropped shingles with `hot_shingles`
+    at the same cap. Default None preserves the unfiltered oracle path.
     """
     sh = shingle_hashes(df, id_col, text_col, n).localCheckpoint(eager=True)
+    if df_cap is not None:
+        sh = sh.join(
+            hot_shingles(sh, id_col, df_cap).select("h"), "h", "left_anti"
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "h")
     b = sh.select(F.col(id_col).alias("id_b"), "h")

@@ -92,6 +92,54 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_neardup_docs(spark, sf_dir), threshold=0.8)
 
 
+# capped variant: every doc carries a constant boilerplate footer (a planted
+# corpus-wide hot shingle, df = n_docs); df_cap=30 must drop exactly those
+# shingles from intersection AND sizes on both engines
+_CAPPED_FOOTER = " common boilerplate footer shared"
+
+
+def q_neardup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _neardup_docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CAPPED_FOOTER)).alias("text")
+    )
+    return ngram_jaccard_pairs(docs, threshold=0.8, df_cap=30)
+
+
+_NEARDUP_CAPPED_SQL = """
+WITH nd AS (
+  SELECT d.doc_id,
+         a.text || printf(' marker%d tail', (d.doc_id % 3)::INT)
+                || ' common boilerplate footer shared' AS text
+  FROM documents d
+  JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM nd)
+  WHERE len(ws) > 0
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq f USING (shingle)
+  WHERE f.df <= 30
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       s.n_shared::DOUBLE / (sa.sz + sb.sz - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE s.n_shared::DOUBLE / (sa.sz + sb.sz - s.n_shared) >= 0.8
+"""
+
+
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH + exact-Jaccard verification; equals brute force with miss
     probability (1−0.8⁴)³² ≈ 5e−8 per true pair, so the brute-force SQL is a
@@ -526,6 +574,7 @@ def q_red_flag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "neardup_jaccard": q_neardup_jaccard,
+    "neardup_jaccard_capped": q_neardup_jaccard_capped,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_fingerprint": q_simhash_fingerprint,
     "zscore_len_anomaly": q_zscore_len_anomaly,
@@ -537,6 +586,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_EXT: dict[str, str] = {
     "bm25_search": _BM25_SQL,
     "neardup_jaccard": _NEARDUP_CTE.format(thr=0.8),
+    "neardup_jaccard_capped": _NEARDUP_CAPPED_SQL,
     "minhash_lsh_neardup": _NEARDUP_CTE.format(thr=0.8),
     "simhash_fingerprint": _SIMHASH_SQL,
     "zscore_len_anomaly": _ZSCORE_SQL,

@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Ship the repo's log4j2 config (Spark default layout + a deny-filter
+    # for the benign "Failed to update accumulator" stage-reuse race — see
+    # conf/log4j2.properties). Applies only when this factory launches the
+    # JVM; an externally-created session keeps its own logging config.
+    log_conf = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "conf", "log4j2.properties"
+    )
+    if os.path.exists(log_conf):
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-Dlog4j.configurationFile=file:{log_conf}",
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -18,7 +18,41 @@ import sys
 import time
 
 
+def _install_stderr_trace_counter() -> list[int]:
+    """Tee fd 2 through a pipe so JVM stack-trace lines can be COUNTED
+    while still streaming live to the real stderr. The count lands in the
+    bench JSON line as `stderr_trace_lines` — a green bench must report 0
+    (the known-benign accumulator race is deny-filtered in
+    arkhammirror_spark/conf/log4j2.properties; anything residual is a real
+    problem the capture window must not hide)."""
+    import threading
+
+    real_err = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    count = [0]
+
+    def _tee() -> None:
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            os.write(real_err, chunk)
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            count[0] += sum(1 for ln in lines if b"at org.apache.spark" in ln)
+
+    threading.Thread(target=_tee, daemon=True).start()
+    return count
+
+
 def main() -> None:
+    trace_lines = _install_stderr_trace_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
@@ -119,6 +153,8 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: stdout line still works
         print(f"# parts file not written: {exc}", file=sys.stderr)
 
+    sys.stderr.flush()
+    time.sleep(0.25)  # let the tee thread drain the last stderr chunk
     print(
         json.dumps(
             {
@@ -131,6 +167,7 @@ def main() -> None:
                 "docs_per_sec_with_writes": docs_per_sec,
                 "pipeline_docs": n_docs,
                 "cpus": cpus,
+                "stderr_trace_lines": trace_lines[0],
             },
             separators=(",", ":"),
         )

@@ -39,9 +39,9 @@ def test_every_part_query_is_served_exactly_once():
     survivors = set(QUERIES) - set(absorbed)
     assert survivors <= set(contract)
     # merged names don't shadow an existing part except the deliberate
-    # `mentions` reuse
+    # reuses (the merged entry keeps the part's public name)
     shadowed = (set(MERGES) | {PROFILE_JOIN[0]}) & set(QUERIES)
-    assert shadowed == {"mentions"}
+    assert shadowed == {"mentions", "neardup_jaccard"}
     # every absorbed part exists in the part registry with an oracle
     for src in absorbed:
         assert src in QUERIES and src in ORACLE_SQL, src

@@ -149,6 +149,60 @@ class TestDedup:
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 4)}
         assert pairs[0]["jaccard"] == 1.0
 
+    def test_jaccard_df_cap_drops_planted_hot_shingle(self, spark):
+        """Adversarial skew shape: one boilerplate trigram planted across
+        every doc would emit O(n²) join rows; with df_cap it must be
+        excluded from intersection AND sizes, so (a) docs related ONLY
+        through the boilerplate stop pairing, (b) genuinely similar docs
+        still pair with the exact Jaccard over the filtered universe, and
+        (c) the audit frame reports exactly the planted shingles."""
+        from arkhammirror_spark.operators.dedup import (
+            hot_shingles,
+            shingle_hashes,
+        )
+
+        footer = " all rights reserved worldwide"
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, base + footer), (2, base + " extra" + footer)] + [
+            (i, f"unique{i} text{i} body{i} words{i} here{i}" + footer)
+            for i in range(3, 40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+        }
+        # footer-only overlap pairs every doc with every other
+        assert len(uncapped) > 500
+
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.05, df_cap=10
+            ).collect()
+        }
+        # only the genuinely-similar pair survives; its Jaccard is exact
+        # over the footer-free shingle universe: the two pure-footer
+        # trigrams (df=39) drop, leaving doc 1 with 8 shingles, doc 2
+        # with 9, sharing the 6 base trigrams -> 6/11
+        assert set(capped) == {(1, 2)}
+        assert abs(capped[(1, 2)] - 6 / 11) < 1e-9
+
+        sh = shingle_hashes(docs)
+        audit = hot_shingles(sh, df_cap=10).collect()
+        # hot shingles = trigrams fully inside footer + those bridging each
+        # doc's last words into it; every audited df exceeds the cap
+        assert audit and all(r["df"] > 10 for r in audit)
+        # the pure-footer trigram "all rights reserved" (df = 39) is caught
+        import pyspark.sql.functions as SF
+
+        hot_set = {r["h"] for r in audit}
+        probe = spark.createDataFrame(
+            [("all rights reserved",)], "shingle: string"
+        ).select(SF.xxhash64("shingle").alias("h")).collect()[0]["h"]
+        assert probe in hot_set
+
     def test_lsh_verified_equals_bruteforce(self, spark, docs):
         thr = 0.5
         lsh = {
