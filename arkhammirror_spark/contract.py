@@ -271,6 +271,26 @@ MERGES: dict[str, tuple[list, list]] = {
            "co_occurrence_count": "start_char", "n_events": "end_char",
            "description": "excerpt"})],
     ),
+    "interval_conflicts": (
+        [("doc_id", _B), ("date_text", _S), ("date_start", _DT),
+         ("prev_date", _DT), ("gap_days", _B), ("conflict_type", _S),
+         ("severity", _S), ("event1_id", _S), ("event2_id", _S),
+         ("doc1", _S), ("doc2", _S), ("entity_id", _S),
+         ("description", _S), ("resolution", _S), ("date_diff_days", _B),
+         ("median_gap", _B), ("text1", _S), ("text2", _S)],
+        [("gaps", "interval_conflicts",
+          {"doc_id": "doc_id", "date_text": "date_text",
+           "date_start": "date_start", "prev_date": "prev_date",
+           "gap_days": "gap_days"}),
+         ("detector", "temporal_conflicts",
+          {"conflict_type": "conflict_type", "severity": "severity",
+           "event1_id": "event1_id", "event2_id": "event2_id",
+           "doc1": "doc1", "doc2": "doc2", "entity_id": "entity_id",
+           "description": "description", "resolution": "resolution",
+           "date_diff_days": "date_diff_days", "gap_days": "gap_days",
+           "median_gap": "median_gap", "text1": "text1",
+           "text2": "text2"})],
+    ),
     "neardup_jaccard": (
         [("id_a", _B), ("id_b", _B), ("jaccard", _D)],
         [("exact", "neardup_jaccard",

@@ -2398,3 +2398,246 @@ SELECT * FROM (VALUES
   ('vid-1', 2, 2.0::DOUBLE, '8eccf614ef66e540')
 ) AS fx(media_id, frame_index, frame_ts_s, frame_digest)
 """
+
+
+# ---------------------------------------------------------------------------
+# T3 four-arm temporal conflict detector (conflicts.py:38-404) on a
+# deterministic 200-event fixture derived from documents.doc_id — both
+# engines synthesize the identical event table, so every arm
+# (contradiction / inconsistency / gap / overlap) is value-checked.
+# ---------------------------------------------------------------------------
+
+_CONFLICT_VOCAB = [
+    "filed", "signed", "met", "agreed", "report", "deal", "acme", "case",
+    "court", "delayed", "hearing", "witness", "later", "after", "then",
+    "board", "review", "audit", "notice", "claim",
+]
+
+
+def _conflict_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = F.array(*[F.lit(w) for w in _CONFLICT_VOCAB])
+    d = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def w(mult: int, add: int):
+        return F.element_at(
+            vocab, ((F.col("doc_id") * mult + add) % 20 + 1).cast("int")
+        )
+
+    days = F.when(F.col("doc_id") == 77, F.lit(470)).otherwise(
+        (F.col("doc_id") * 17 + 2) % 120
+    )
+    e1 = F.when(
+        F.col("doc_id") % 3 > 0,
+        F.concat(F.lit("E"), ((F.col("doc_id") * 3 + 1) % 5).cast("string")),
+    )
+    e2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("F"), ((F.col("doc_id") * 7 + 2) % 3).cast("string")),
+    )
+    return d.select(
+        F.col("doc_id").alias("ord"),
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("id"),
+        # modulus 7: date equality in this fixture needs doc_id delta 120,
+        # and 120 % 7 != 0 keeps such pairs in DIFFERENT documents so the
+        # overlap arm fires (mod 10 would silence it)
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "document_id"
+        ),
+        F.concat_ws(" ", w(7, 3), w(11, 5), w(13, 8)).alias("text"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), days.cast("int")
+        ).alias("date_start"),
+        (F.lit(0.30) + (F.col("doc_id") % 66) / F.lit(100.0)).alias(
+            "confidence"
+        ),
+        F.array_compact(F.array(e1, e2)).alias("entities"),
+        F.when(
+            F.col("doc_id") % 4 != 0, (F.col("doc_id") * 29 + 1) % 499
+        ).cast("long").alias("pos"),
+    )
+
+
+@register("temporal_conflicts", None)  # oracle below
+def q_temporal_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conflicts import detect_temporal_conflicts
+
+    ev = _conflict_events_spark(spark, sf_dir)
+    out = detect_temporal_conflicts(ev)
+    return out.select(
+        "conflict_type", "severity", "event1_id", "event2_id", "doc1",
+        "doc2",
+        F.coalesce("entity_id", F.lit("<na>")).alias("entity_id"),
+        "description",
+        F.col("suggested_resolution").alias("resolution"),
+        F.coalesce("date_diff_days", F.lit(-424242)).cast("long").alias(
+            "date_diff_days"
+        ),
+        F.coalesce("gap_days", F.lit(-424242)).cast("long").alias(
+            "gap_days"
+        ),
+        F.coalesce("median_gap", F.lit(-424242)).cast("long").alias(
+            "median_gap"
+        ),
+        F.coalesce("text1", F.lit("<na>")).alias("text1"),
+        F.coalesce("text2", F.lit("<na>")).alias("text2"),
+    )
+
+
+_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in _CONFLICT_VOCAB) + "]"
+
+ORACLE_EXT2["temporal_conflicts"] = f"""
+WITH v AS (SELECT {_VOCAB_SQL} AS w),
+ev AS (
+  SELECT doc_id AS ord,
+         'e' || doc_id::VARCHAR AS id,
+         'd' || (doc_id % 7)::VARCHAR AS document_id,
+         w[((doc_id*7+3) % 20 + 1)::INT] || ' ' ||
+         w[((doc_id*11+5) % 20 + 1)::INT] || ' ' ||
+         w[((doc_id*13+8) % 20 + 1)::INT] AS text,
+         DATE '2024-01-01' + (CASE WHEN doc_id = 77 THEN 470
+                              ELSE (doc_id*17+2) % 120 END)::INT AS date_start,
+         0.30::DOUBLE + (doc_id % 66)/100.0::DOUBLE AS confidence,
+         list_filter([
+           CASE WHEN doc_id % 3 > 0 THEN 'E' || ((doc_id*3+1) % 5)::VARCHAR END,
+           CASE WHEN doc_id % 5 = 0 THEN 'F' || ((doc_id*7+2) % 3)::VARCHAR END
+         ], x -> x IS NOT NULL) AS entities,
+         CASE WHEN doc_id % 4 <> 0 THEN (doc_id*29+1) % 499 END AS pos
+  FROM documents, v WHERE doc_id < 200
+),
+evr AS (SELECT *, min(ord) OVER (PARTITION BY document_id) AS doc_rank FROM ev),
+ent AS (SELECT ord, doc_rank, unnest(entities) AS e FROM evr),
+words AS (
+  SELECT ord, doc_rank, w FROM (
+    SELECT ord, doc_rank,
+           unnest(list_distinct(string_split(lower(text), ' '))) AS w
+    FROM evr
+  ) WHERE length(w) > 0
+),
+cand AS (
+  SELECT a.ord AS ord_a, b.ord AS ord_b
+  FROM ent a JOIN ent b ON a.e = b.e AND a.doc_rank < b.doc_rank
+  UNION
+  SELECT ord_a, ord_b FROM (
+    SELECT a.ord AS ord_a, b.ord AS ord_b, count(*) AS n
+    FROM words a JOIN words b ON a.w = b.w AND a.doc_rank < b.doc_rank
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+  UNION
+  SELECT a.ord, b.ord FROM evr a JOIN evr b
+    ON a.doc_rank < b.doc_rank
+   AND abs(datediff('day', b.date_start, a.date_start)) <= 7
+),
+contra AS (
+  SELECT 'contradiction' AS conflict_type,
+         CASE WHEN (x.confidence + y.confidence)/2 > 0.9
+                   AND abs(datediff('day', y.date_start, x.date_start)) > 30
+              THEN 'critical'
+              WHEN abs(datediff('day', y.date_start, x.date_start)) > 90
+              THEN 'high'
+              WHEN abs(datediff('day', y.date_start, x.date_start)) > 7
+              THEN 'medium'
+              ELSE 'low' END AS severity,
+         x.id AS event1_id, y.id AS event2_id,
+         x.document_id AS doc1, y.document_id AS doc2,
+         NULL::VARCHAR AS entity_id,
+         'Contradictory dates: Event in ' || x.document_id || ' claims ' ||
+         x.date_start::VARCHAR || ', but event in ' || y.document_id ||
+         ' claims ' || y.date_start::VARCHAR AS description,
+         'verify_source' AS resolution,
+         abs(datediff('day', y.date_start, x.date_start))::BIGINT
+           AS date_diff_days,
+         NULL::BIGINT AS gap_days, NULL::BIGINT AS median_gap,
+         x.text AS text1, y.text AS text2
+  FROM cand c JOIN evr x ON c.ord_a = x.ord JOIN evr y ON c.ord_b = y.ord
+  WHERE abs(datediff('day', y.date_start, x.date_start)) > 0
+),
+ibase AS (
+  SELECT *, lag(id) OVER iw AS prev_id, lag(date_start) OVER iw AS prev_date,
+         lag(text) OVER iw AS prev_text
+  FROM evr WHERE pos IS NOT NULL
+  WINDOW iw AS (PARTITION BY document_id ORDER BY pos, ord)
+),
+incons AS (
+  SELECT 'inconsistency' AS conflict_type, 'medium' AS severity,
+         prev_id AS event1_id, id AS event2_id,
+         document_id AS doc1, document_id AS doc2,
+         NULL::VARCHAR AS entity_id,
+         'Inconsistent sequence: Event 2 appears to be after Event 1 but has earlier date ('
+         || date_start::VARCHAR || ' vs ' || prev_date::VARCHAR || ')'
+           AS description,
+         'review_context' AS resolution,
+         NULL::BIGINT AS date_diff_days, NULL::BIGINT AS gap_days,
+         NULL::BIGINT AS median_gap, prev_text AS text1, text AS text2
+  FROM ibase
+  WHERE prev_id IS NOT NULL AND date_start < prev_date AND (
+    lower(text) LIKE '%later%' OR lower(text) LIKE '%after%'
+    OR lower(text) LIKE '%following%' OR lower(text) LIKE '%next%'
+    OR lower(text) LIKE '%then%')
+),
+gadj AS (
+  SELECT id, ord, document_id, date_start,
+         lag(id) OVER gw AS prev_id, lag(date_start) OVER gw AS prev_date,
+         lag(document_id) OVER gw AS prev_doc,
+         count(*) OVER () AS n_ev
+  FROM evr WINDOW gw AS (ORDER BY date_start, ord)
+),
+g2 AS (
+  SELECT *, datediff('day', prev_date, date_start) AS gap_days FROM gadj
+  WHERE prev_id IS NOT NULL AND n_ev >= 3
+),
+gmed AS (
+  SELECT gap_days AS median_gap FROM (
+    SELECT gap_days, row_number() OVER (ORDER BY gap_days) AS rn,
+           count(*) OVER () AS n
+    FROM g2
+  ) WHERE rn = n // 2 + 1
+),
+gaps AS (
+  SELECT 'gap' AS conflict_type, 'low' AS severity,
+         prev_id AS event1_id, id AS event2_id,
+         prev_doc AS doc1, document_id AS doc2,
+         NULL::VARCHAR AS entity_id,
+         'Unexpected ' || gap_days::VARCHAR || '-day gap between events ('
+         || prev_date::VARCHAR || ' to ' || date_start::VARCHAR || ')'
+           AS description,
+         'check_for_missing_data' AS resolution,
+         NULL::BIGINT AS date_diff_days, gap_days::BIGINT AS gap_days,
+         median_gap::BIGINT AS median_gap,
+         NULL::VARCHAR AS text1, NULL::VARCHAR AS text2
+  FROM g2, gmed WHERE gap_days > median_gap*3 AND gap_days > 30
+),
+ent2 AS (
+  SELECT ord, id, document_id, date_start, text, unnest(entities) AS e
+  FROM evr
+),
+overl AS (
+  SELECT 'overlap' AS conflict_type, 'low' AS severity,
+         a.id AS event1_id, b.id AS event2_id,
+         a.document_id AS doc1, b.document_id AS doc2,
+         a.e AS entity_id,
+         'Potentially overlapping events for entity ' || a.e || ' around '
+         || a.date_start::VARCHAR AS description,
+         'review_compatibility' AS resolution,
+         NULL::BIGINT AS date_diff_days, NULL::BIGINT AS gap_days,
+         NULL::BIGINT AS median_gap, a.text AS text1, b.text AS text2
+  FROM ent2 a JOIN ent2 b
+    ON a.e = b.e AND a.ord < b.ord
+   AND a.document_id <> b.document_id
+   AND a.date_start = b.date_start
+),
+allc AS (
+  SELECT * FROM contra UNION ALL SELECT * FROM incons
+  UNION ALL SELECT * FROM gaps UNION ALL SELECT * FROM overl
+)
+SELECT conflict_type, severity, event1_id, event2_id, doc1, doc2,
+       coalesce(entity_id, '<na>') AS entity_id, description, resolution,
+       coalesce(date_diff_days, -424242)::BIGINT AS date_diff_days,
+       coalesce(gap_days, -424242)::BIGINT AS gap_days,
+       coalesce(median_gap, -424242)::BIGINT AS median_gap,
+       coalesce(text1, '<na>') AS text1, coalesce(text2, '<na>') AS text2
+FROM allc
+"""
