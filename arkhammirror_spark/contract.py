@@ -83,14 +83,27 @@ MERGES: dict[str, tuple[list, list]] = {
            "confidence": "confidence"})],
     ),
     "simhash_neardup": (
-        [("id_a", _B), ("id_b", _B), ("val", _B), ("bits", _S)],
+        [("id_a", _B), ("id_b", _B), ("val", _B), ("bits", _S),
+         ("kind", _S), ("status", _S), ("merged_into", _B),
+         ("merged_count", _B), ("references_updated", _B),
+         ("documents_cleaned", _B), ("stat_total", _B),
+         ("stat_with_hash", _B), ("stat_unique", _B),
+         ("stat_potential", _B)],
         [("sig", "simhash_fingerprint", {"id_a": "doc_id", "val": "simhash"}),
          ("pair", "simhash_hamming_pairs",
           {"id_a": "id_a", "id_b": "id_b", "val": "hamming"}),
          ("ref64", "reference_simhash",
           {"id_a": "doc_id", "bits": "simhash_bits"}),
          ("groups", "simhash_duplicate_groups",
-          {"id_a": "primary_id", "id_b": "member_id"})],
+          {"id_a": "primary_id", "id_b": "member_id"}),
+         ("merge", "dedup_merge",
+          {"id_a": "id", "kind": "kind", "status": "status",
+           "merged_into": "merged_into", "merged_count": "merged_count",
+           "references_updated": "references_updated",
+           "documents_cleaned": "documents_cleaned",
+           "stat_total": "stat_total", "stat_with_hash": "stat_with_hash",
+           "stat_unique": "stat_unique",
+           "stat_potential": "stat_potential"})],
     ),
     "graph_node_labels": (
         [("name", _S), ("label", _S), ("size", _B)],

@@ -789,3 +789,198 @@ def duplicate_groups(
             "similarity_threshold", F.lit(float(threshold))
         )
     )
+
+
+def merge_documents(
+    documents: DataFrame,
+    groups: DataFrame,
+    mentions: DataFrame | None = None,
+    claims: DataFrame | None = None,
+    strategy: str = "keep_primary",
+    preserve_references: bool = True,
+    cleanup_action: str = "soft_delete",
+    id_col: str = "doc_id",
+    doc_col: str = "document_id",
+) -> dict[str, DataFrame]:
+    """Duplicate-group merge (DeduplicationService.merge_documents,
+    deduplication.py:498-660) as one declarative batch over ALL groups:
+    the reference loops per group issuing per-duplicate UPDATE/DELETE
+    statements; here the dup->primary map drives set-oriented joins, so
+    a 100-TB corpus merges in three shuffles (map join per reference
+    table + one history agg) instead of O(groups x dups) round trips.
+
+    Inputs: `documents` keyed by `id_col` with optional `status`;
+    `groups` = duplicate_groups() output (primary_document_id,
+    member_id); mentions/claims keyed by `doc_col`.
+
+    Returns frames mirroring the reference's post-merge state:
+      documents — status/merged_into_id per cleanup_action
+        (soft_delete -> status 'merged' + merged_into_id, archive ->
+        'archived' + archived_reason, hard_delete -> dup rows REMOVED,
+        keep -> untouched);
+      mentions / claims — `doc_col` re-pointed to the group primary when
+        preserve_references (the two UPDATEs at :550-574);
+      history — one row per group: merged_count, references_updated,
+        documents_cleaned, strategy, cleanup_action (merge_history
+        insert at :637-652; uuid/timestamp omitted, duplicate ids
+        serialized sorted since the reference's set order is arbitrary).
+    """
+    dup_map = (
+        groups.where(F.col("member_id") != F.col("primary_document_id"))
+        .select(
+            F.col("member_id").alias("_dup_id"),
+            F.col("primary_document_id").alias("_primary_id"),
+        )
+        .distinct()
+    )
+
+    def _repoint(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        if not preserve_references:
+            return df.withColumn("_from_dup", F.lit(None).cast("string"))
+        out = df.join(
+            dup_map, df[doc_col] == dup_map._dup_id, "left"
+        )
+        return out.select(
+            *[c for c in df.columns if c != doc_col],
+            F.coalesce(dup_map._primary_id, df[doc_col]).alias(doc_col),
+            # original dup id kept for the per-group rowcount ledger
+            dup_map._dup_id.alias("_from_dup"),
+        )
+
+    mentions_out = _repoint(mentions)
+    claims_out = _repoint(claims)
+
+    docs = documents
+    status_col = (
+        F.col("status") if "status" in documents.columns
+        else F.lit("active")
+    )
+    d = docs.join(dup_map, docs[id_col] == dup_map._dup_id, "left")
+    if cleanup_action == "soft_delete":
+        docs_out = d.select(
+            *[c for c in docs.columns if c != "status"],
+            F.when(dup_map._dup_id.isNotNull(), F.lit("merged"))
+            .otherwise(status_col).alias("status"),
+            dup_map._primary_id.alias("merged_into_id"),
+        )
+    elif cleanup_action == "archive":
+        docs_out = d.select(
+            *[c for c in docs.columns if c != "status"],
+            F.when(dup_map._dup_id.isNotNull(), F.lit("archived"))
+            .otherwise(status_col).alias("status"),
+            F.when(
+                dup_map._dup_id.isNotNull(),
+                F.concat(
+                    F.lit("duplicate_of_"),
+                    dup_map._primary_id.cast("string"),
+                ),
+            ).alias("archived_reason"),
+        )
+    elif cleanup_action == "hard_delete":
+        docs_out = d.where(dup_map._dup_id.isNull()).select(*docs.columns)
+    elif cleanup_action == "keep":
+        docs_out = documents
+    else:
+        raise ValueError(f"unknown cleanup_action {cleanup_action!r}")
+
+    # per-group ledger: references_updated sums the re-pointed rowcounts
+    # across BOTH reference tables (:560, :572); documents_cleaned counts
+    # dups except under `keep` (:630-632)
+    def _ref_counts(df: DataFrame | None) -> DataFrame | None:
+        if df is None or not preserve_references:
+            return None
+        # re-pointed rows already carry the primary in doc_col
+        return (
+            df.where(F.col("_from_dup").isNotNull())
+            .groupBy(F.col(doc_col).alias("_primary_id"))
+            .agg(F.count(F.lit(1)).alias("n_refs"))
+        )
+
+    hist = dup_map.groupBy("_primary_id").agg(
+        F.count(F.lit(1)).alias("merged_count"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("_dup_id").cast("string"))),
+            "|",
+        ).alias("merged_document_ids"),
+    )
+    ref_counts = [
+        rc
+        for rc in (_ref_counts(mentions_out), _ref_counts(claims_out))
+        if rc is not None
+    ]
+    if ref_counts:
+        refs = ref_counts[0]
+        for rc in ref_counts[1:]:
+            refs = refs.unionByName(rc)
+        refs = refs.groupBy("_primary_id").agg(
+            F.sum("n_refs").alias("references_updated")
+        )
+        hist = hist.join(refs, "_primary_id", "left").withColumn(
+            "references_updated",
+            F.coalesce(F.col("references_updated"), F.lit(0)),
+        )
+    else:
+        hist = hist.withColumn("references_updated", F.lit(0))
+    history = hist.select(
+        F.col("_primary_id").alias("primary_id"),
+        F.col("merged_count").cast("long").alias("merged_count"),
+        "merged_document_ids",
+        F.lit(strategy).alias("strategy"),
+        F.lit(cleanup_action).alias("cleanup_action"),
+        F.col("references_updated").cast("long").alias(
+            "references_updated"
+        ),
+        (
+            F.lit(0).cast("long")
+            if cleanup_action == "keep"
+            else F.col("merged_count").cast("long")
+        ).alias("documents_cleaned"),
+    )
+
+    def _strip(df: DataFrame | None) -> DataFrame | None:
+        return df.drop("_from_dup") if df is not None else None
+
+    return {
+        "documents": docs_out,
+        "mentions": _strip(mentions_out),
+        "claims": _strip(claims_out),
+        "history": history,
+    }
+
+
+def deduplication_stats(
+    documents: DataFrame,
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus dedup stats (get_deduplication_stats, deduplication.py:
+    662-701): documents LEFT JOIN content_hashes, counting hash coverage
+    and distinct sha256; potential_duplicates = with_hash - unique when
+    positive. One aggregation job at any corpus size."""
+    j = documents.select(F.col(id_col).alias("_d")).join(
+        hashes.select(
+            F.col(id_col).alias("_d"), F.col("content_sha256")
+        ),
+        "_d",
+        "left",
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("total_documents"),
+        F.count("content_sha256").alias("documents_with_hash"),
+        F.count_distinct("content_sha256").alias("unique_content_hashes"),
+    )
+    return agg.select(
+        F.col("total_documents").cast("long").alias("total_documents"),
+        F.col("documents_with_hash").cast("long").alias(
+            "documents_with_hash"
+        ),
+        F.col("unique_content_hashes").cast("long").alias(
+            "unique_content_hashes"
+        ),
+        F.greatest(
+            F.col("documents_with_hash") - F.col("unique_content_hashes"),
+            F.lit(0),
+        ).cast("long").alias("potential_duplicates"),
+    )

@@ -1468,3 +1468,187 @@ comp AS (SELECT n, min(c) AS c FROM cc GROUP BY n)
 SELECT c::BIGINT AS primary_id, n::BIGINT AS member_id FROM comp
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-lane finale: merge_documents + deduplication_stats
+# (deduplication.py:498-701) over an analytically-known group fixture —
+# consecutive doc_id triplets below 300 form the duplicate groups (group
+# DISCOVERY is gated by the simhash_duplicate_groups part; this part
+# gates the MERGE decision table), with doc_id%5 synthetic mentions and
+# doc_id%4 claims per member. Four row kinds in one part: per-group
+# history, post-merge document states, re-pointed reference counts, and
+# the corpus stats row (paired-text sha256 fixture, hashes for
+# doc_id%7>0 only so hash coverage < total).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_merge", None)  # oracle below
+def q_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import deduplication_stats, merge_documents
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.select("doc_id")
+    grouped = docs.where(F.col("doc_id") < 300)
+    groups = grouped.select(
+        (F.col("doc_id") - F.col("doc_id") % 3).alias(
+            "primary_document_id"
+        ),
+        F.col("doc_id").alias("member_id"),
+    )
+    n_m = (F.col("doc_id") % 5).cast("int")
+    mentions = grouped.where(n_m > 0).select(
+        F.col("doc_id").alias("document_id"),
+        F.explode(F.sequence(F.lit(1), n_m)).alias("mention_i"),
+    )
+    n_c = (F.col("doc_id") % 4).cast("int")
+    claims = grouped.where(n_c > 0).select(
+        F.col("doc_id").alias("document_id"),
+        F.explode(F.sequence(F.lit(1), n_c)).alias("claim_i"),
+    )
+    out = merge_documents(
+        docs, groups, mentions=mentions, claims=claims,
+        cleanup_action="soft_delete", id_col="doc_id",
+    )
+
+    sent_b = F.lit(-424242).cast("long")
+    hist = out["history"].select(
+        F.lit("history").alias("kind"),
+        F.col("primary_id").cast("long").alias("id"),
+        F.lit("<na>").alias("status"),
+        sent_b.alias("merged_into"),
+        F.col("merged_count"),
+        F.col("references_updated"),
+        F.col("documents_cleaned"),
+        sent_b.alias("stat_total"), sent_b.alias("stat_with_hash"),
+        sent_b.alias("stat_unique"), sent_b.alias("stat_potential"),
+    )
+    docs_state = out["documents"].select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("status"),
+        F.coalesce(F.col("merged_into_id").cast("long"), sent_b).alias(
+            "merged_into"
+        ),
+        sent_b.alias("merged_count"), sent_b.alias("references_updated"),
+        sent_b.alias("documents_cleaned"),
+        sent_b.alias("stat_total"), sent_b.alias("stat_with_hash"),
+        sent_b.alias("stat_unique"), sent_b.alias("stat_potential"),
+    )
+    refs = (
+        out["mentions"]
+        .groupBy("document_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("refs").alias("kind"),
+            F.col("document_id").cast("long").alias("id"),
+            F.lit("<na>").alias("status"),
+            sent_b.alias("merged_into"), sent_b.alias("merged_count"),
+            F.col("n").cast("long").alias("references_updated"),
+            sent_b.alias("documents_cleaned"),
+            sent_b.alias("stat_total"), sent_b.alias("stat_with_hash"),
+            sent_b.alias("stat_unique"), sent_b.alias("stat_potential"),
+        )
+    )
+    pair_base = d.select(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("base"),
+        F.col("doc_id").alias("v_id"),
+    )
+    anchor = d.select(F.col("doc_id").alias("base"), "text")
+    hashes = (
+        pair_base.join(anchor, "base")
+        .where(F.col("v_id") % 7 > 0)
+        .select(
+            F.col("v_id").alias("doc_id"),
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+        )
+    )
+    stats = deduplication_stats(docs, hashes).select(
+        F.lit("stats").alias("kind"),
+        sent_b.alias("id"), F.lit("<na>").alias("status"),
+        sent_b.alias("merged_into"), sent_b.alias("merged_count"),
+        sent_b.alias("references_updated"),
+        sent_b.alias("documents_cleaned"),
+        F.col("total_documents").alias("stat_total"),
+        F.col("documents_with_hash").alias("stat_with_hash"),
+        F.col("unique_content_hashes").alias("stat_unique"),
+        F.col("potential_duplicates").alias("stat_potential"),
+    )
+    return hist.unionByName(docs_state).unionByName(refs).unionByName(
+        stats
+    )
+
+
+ORACLE_EXT3["dedup_merge"] = """
+WITH g AS (
+  SELECT doc_id FROM documents WHERE doc_id < 300
+),
+dups AS (
+  SELECT doc_id - doc_id % 3 AS primary_id, doc_id AS member_id
+  FROM g WHERE doc_id % 3 <> 0
+),
+hist AS (
+  SELECT 'history' AS kind, primary_id::BIGINT AS id,
+         '<na>' AS status, -424242::BIGINT AS merged_into,
+         count(*)::BIGINT AS merged_count,
+         sum(member_id % 5 + member_id % 4)::BIGINT
+           AS references_updated,
+         count(*)::BIGINT AS documents_cleaned,
+         -424242::BIGINT AS stat_total,
+         -424242::BIGINT AS stat_with_hash,
+         -424242::BIGINT AS stat_unique,
+         -424242::BIGINT AS stat_potential
+  FROM dups GROUP BY primary_id
+),
+docs_state AS (
+  SELECT 'doc' AS kind, d.doc_id::BIGINT AS id,
+         CASE WHEN dp.member_id IS NOT NULL THEN 'merged'
+              ELSE 'active' END AS status,
+         coalesce(dp.primary_id, -424242)::BIGINT AS merged_into,
+         -424242::BIGINT AS merged_count,
+         -424242::BIGINT AS references_updated,
+         -424242::BIGINT AS documents_cleaned,
+         -424242::BIGINT AS stat_total,
+         -424242::BIGINT AS stat_with_hash,
+         -424242::BIGINT AS stat_unique,
+         -424242::BIGINT AS stat_potential
+  FROM documents d LEFT JOIN dups dp ON d.doc_id = dp.member_id
+),
+refs AS (
+  SELECT 'refs' AS kind,
+         (doc_id - doc_id % 3)::BIGINT AS id,
+         '<na>' AS status, -424242::BIGINT AS merged_into,
+         -424242::BIGINT AS merged_count,
+         sum(doc_id % 5)::BIGINT AS references_updated,
+         -424242::BIGINT AS documents_cleaned,
+         -424242::BIGINT AS stat_total,
+         -424242::BIGINT AS stat_with_hash,
+         -424242::BIGINT AS stat_unique,
+         -424242::BIGINT AS stat_potential
+  FROM g WHERE doc_id % 5 > 0
+  GROUP BY doc_id - doc_id % 3
+),
+h AS (
+  SELECT v.doc_id, sha256(a.text) AS content_sha256
+  FROM documents v JOIN documents a
+    ON a.doc_id = v.doc_id - v.doc_id % 2
+  WHERE v.doc_id % 7 > 0
+),
+stats AS (
+  SELECT 'stats' AS kind, -424242::BIGINT AS id, '<na>' AS status,
+         -424242::BIGINT AS merged_into,
+         -424242::BIGINT AS merged_count,
+         -424242::BIGINT AS references_updated,
+         -424242::BIGINT AS documents_cleaned,
+         count(*)::BIGINT AS stat_total,
+         count(h.content_sha256)::BIGINT AS stat_with_hash,
+         count(DISTINCT h.content_sha256)::BIGINT AS stat_unique,
+         greatest(count(h.content_sha256)
+                  - count(DISTINCT h.content_sha256), 0)::BIGINT
+           AS stat_potential
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+)
+SELECT * FROM hist UNION ALL SELECT * FROM docs_state
+UNION ALL SELECT * FROM refs UNION ALL SELECT * FROM stats
+"""
