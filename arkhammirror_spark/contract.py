@@ -304,6 +304,32 @@ MERGES: dict[str, tuple[list, list]] = {
            "median_gap": "median_gap", "text1": "text1",
            "text2": "text2"})],
     ),
+    "claims": (
+        [("doc_id", _B), ("claim_text", _S), ("confidence", _D),
+         ("id_a", _B), ("id_b", _B), ("score", _D), ("match_type", _S),
+         ("action", _S), ("match_rank", _I), ("kind", _S), ("status", _S),
+         ("notes", _S), ("merge_role", _S), ("entity_ids_out", _S),
+         ("merged_count", _B), ("evidence_transferred", _B),
+         ("entities_merged", _B), ("evidence_count", _B),
+         ("supporting_count", _B), ("refuting_count", _B)],
+        [("extract", "claims",
+          {"doc_id": "doc_id", "claim_text": "claim_text",
+           "confidence": "confidence"}),
+         ("similar", "similar_claims",
+          {"id_a": "claim_id", "id_b": "matched_claim_id",
+           "score": "similarity_score", "match_type": "match_type",
+           "action": "suggested_action", "match_rank": "match_rank"}),
+         ("merge", "claims_merge",
+          {"id_a": "id", "kind": "kind", "status": "status",
+           "notes": "notes", "merge_role": "merge_role",
+           "entity_ids_out": "entity_ids_out",
+           "merged_count": "merged_count",
+           "evidence_transferred": "evidence_transferred",
+           "entities_merged": "entities_merged",
+           "evidence_count": "evidence_count",
+           "supporting_count": "supporting_count",
+           "refuting_count": "refuting_count"})],
+    ),
     "neardup_jaccard": (
         [("id_a", _B), ("id_b", _B), ("jaccard", _D)],
         [("exact", "neardup_jaccard",

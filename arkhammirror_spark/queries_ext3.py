@@ -1652,3 +1652,312 @@ stats AS (
 SELECT * FROM hist UNION ALL SELECT * FROM docs_state
 UNION ALL SELECT * FROM refs UNION ALL SELECT * FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Claims similarity + merge lanes (claims shard.py:880-983) over
+# analytically-known fixtures. similar_claims: claims are built from
+# doc_id triplets sharing a base document's first-8-word prefix plus a
+# group token and an alpha/beta variant, so in-group word-Jaccard
+# straddles the 0.8 threshold exactly where prefix sets dedup; the
+# group token (df = 3) guarantees blocked-candidate recall for every
+# qualifying pair. claims_merge: triplet merge groups with doc_id%4
+# synthetic evidence rows (supports/refutes/related cycling) and
+# doc_id%{5,7} entity links; gates the ClaimMergeResult counts, member
+# retractions + notes, primary entity unions and evidence recounts, and
+# the re-pointed evidence table.
+# ---------------------------------------------------------------------------
+
+
+@register("similar_claims", None)  # oracle below
+def q_similar_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.claims_ops import similar_claims
+    from .queries import _load
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("base_id"), "text"
+    )
+    members = d.where(F.col("doc_id") < 240).select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("base_id")
+    )
+    prefix = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ),
+        1, 8,
+    )
+    variant = F.when(F.col("doc_id") % 3 == 1, F.lit("beta")).otherwise(
+        F.lit("alpha")
+    )
+    claims = members.join(base, "base_id").select(
+        F.col("doc_id").alias("claim_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                prefix,
+                F.array(
+                    F.concat(F.lit("grp"), F.col("base_id").cast("string")),
+                    variant,
+                ),
+            ),
+        ).alias("claim_text"),
+    )
+    out = similar_claims(claims, threshold=0.8, limit=10)
+    return out.select(
+        F.col("claim_id").cast("long"),
+        F.col("matched_claim_id").cast("long"),
+        F.round("similarity_score", 6).alias("similarity_score"),
+        "match_type", "suggested_action",
+        F.col("match_rank").cast("int").alias("match_rank"),
+    )
+
+
+ORACLE_EXT3["similar_claims"] = r"""
+WITH m AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS base_id
+  FROM documents WHERE doc_id < 240
+),
+b AS (
+  SELECT doc_id AS base_id, text FROM documents WHERE doc_id % 3 = 0
+),
+claims AS (
+  SELECT m.doc_id AS claim_id,
+         array_to_string(
+           list_append(
+             list_append(
+               list_slice(
+                 list_filter(string_split_regex(lower(b.text), '\s+'),
+                             w -> len(w) > 0),
+                 1, 8),
+               'grp' || m.base_id),
+             CASE WHEN m.doc_id % 3 = 1 THEN 'beta' ELSE 'alpha' END),
+           ' ') AS claim_text
+  FROM m JOIN b USING (base_id)
+),
+toks AS (
+  SELECT claim_id, unnest(list_distinct(
+           list_filter(string_split_regex(lower(claim_text), '\s+'),
+                       w -> len(w) > 0))) AS w
+  FROM claims
+),
+sizes AS (SELECT claim_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.claim_id AS ca, b.claim_id AS cb, count(*) AS i
+  FROM toks a JOIN toks b ON a.w = b.w AND a.claim_id < b.claim_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ca, cb, i::DOUBLE / (sa.n + sb.n - i) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.claim_id = ca
+  JOIN sizes sb ON sb.claim_id = cb
+  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+),
+sym AS (
+  SELECT ca AS claim_id, cb AS matched_claim_id, jac FROM pairs
+  UNION ALL
+  SELECT cb, ca, jac FROM pairs
+),
+ranked AS (
+  SELECT claim_id, matched_claim_id, jac,
+         row_number() OVER (
+           PARTITION BY claim_id
+           ORDER BY jac DESC, matched_claim_id ASC) AS match_rank
+  FROM sym
+)
+SELECT claim_id::BIGINT AS claim_id,
+       matched_claim_id::BIGINT AS matched_claim_id,
+       round(jac, 6)::DOUBLE AS similarity_score,
+       'fuzzy' AS match_type, 'review' AS suggested_action,
+       match_rank::INTEGER AS match_rank
+FROM ranked WHERE match_rank <= 10
+"""
+
+
+@register("claims_merge", None)  # oracle below
+def q_claims_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.claims_ops import merge_claims
+    from .queries import _load
+
+    g = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    claims = g.select(
+        F.col("doc_id").alias("claim_id"),
+        F.lit("unverified").alias("status"),
+        F.array_distinct(
+            F.array(
+                F.concat(F.lit("e"), (F.col("doc_id") % 5).cast("string")),
+                F.concat(F.lit("e"), (F.col("doc_id") % 7).cast("string")),
+            )
+        ).alias("entity_ids"),
+    )
+    # plan includes the primary itself as a member to exercise the
+    # reference's self-skip (shard.py:936)
+    plan = g.select(
+        (F.col("doc_id") - F.col("doc_id") % 3).alias("primary_claim_id"),
+        F.col("doc_id").alias("member_id"),
+    )
+    n_ev = (F.col("doc_id") % 4).cast("int")
+    rels = F.array(F.lit("supports"), F.lit("refutes"), F.lit("related"))
+    ev = (
+        g.where(n_ev > 0)
+        .select(
+            F.col("doc_id").alias("claim_id"),
+            F.explode(F.sequence(F.lit(1), n_ev)).alias("j"),
+        )
+        .select(
+            (F.col("claim_id") * 10 + F.col("j")).alias("evidence_id"),
+            "claim_id",
+            F.element_at(
+                rels, ((F.col("claim_id") + F.col("j")) % 3 + 1).cast("int")
+            ).alias("relationship"),
+        )
+    )
+    out = merge_claims(claims, plan, evidence=ev)
+
+    sent_b = F.lit(-424242).cast("long")
+    sent_s = F.lit("<na>")
+    res = out["results"].select(
+        F.lit("res").alias("kind"),
+        F.col("primary_claim_id").cast("long").alias("id"),
+        sent_s.alias("status"), sent_s.alias("notes"),
+        sent_s.alias("merge_role"), sent_s.alias("entity_ids_out"),
+        F.col("merged_count").cast("long"),
+        F.col("evidence_transferred").cast("long"),
+        F.col("entities_merged").cast("long"),
+        sent_b.alias("evidence_count"), sent_b.alias("supporting_count"),
+        sent_b.alias("refuting_count"),
+    )
+    states = out["claim_states"].select(
+        F.lit("state").alias("kind"),
+        F.col("claim_id").cast("long").alias("id"),
+        "status",
+        F.when(F.col("notes") == "", sent_s).otherwise(
+            F.col("notes")
+        ).alias("notes"),
+        "merge_role", "entity_ids_out",
+        sent_b.alias("merged_count"),
+        sent_b.alias("evidence_transferred"),
+        sent_b.alias("entities_merged"),
+        F.col("evidence_count").cast("long"),
+        F.col("supporting_count").cast("long"),
+        F.col("refuting_count").cast("long"),
+    )
+    ev_counts = (
+        out["evidence_out"]
+        .groupBy("claim_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("ev").alias("kind"),
+            F.col("claim_id").cast("long").alias("id"),
+            sent_s.alias("status"), sent_s.alias("notes"),
+            sent_s.alias("merge_role"), sent_s.alias("entity_ids_out"),
+            sent_b.alias("merged_count"),
+            sent_b.alias("evidence_transferred"),
+            sent_b.alias("entities_merged"),
+            F.col("n").cast("long").alias("evidence_count"),
+            sent_b.alias("supporting_count"),
+            sent_b.alias("refuting_count"),
+        )
+    )
+    return res.unionByName(states).unionByName(ev_counts)
+
+
+ORACLE_EXT3["claims_merge"] = """
+WITH g AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+mem AS (
+  SELECT doc_id - doc_id % 3 AS p, doc_id AS m
+  FROM g WHERE doc_id % 3 <> 0
+),
+ev AS (
+  SELECT doc_id AS claim_id, doc_id * 10 + j.i AS evidence_id,
+         CASE (doc_id + j.i) % 3 WHEN 0 THEN 'supports'
+              WHEN 1 THEN 'refutes' ELSE 'related' END AS relationship
+  FROM g, LATERAL (
+    SELECT unnest(generate_series(1, doc_id % 4)) AS i) j
+  WHERE doc_id % 4 > 0
+),
+ev_final AS (
+  SELECT coalesce(mem.p, ev.claim_id) AS claim_id, ev.relationship
+  FROM ev LEFT JOIN mem ON ev.claim_id = mem.m
+),
+trans AS (
+  SELECT mem.p, count(*) AS c
+  FROM ev JOIN mem ON ev.claim_id = mem.m GROUP BY 1
+),
+ments AS (
+  SELECT p, 'e' || (m % 5) AS e FROM mem
+  UNION SELECT p, 'e' || (m % 7) FROM mem
+),
+ment_cnt AS (SELECT p, count(DISTINCT e) AS c FROM ments GROUP BY p),
+groups AS (SELECT p, count(*) AS merged_count FROM mem GROUP BY p),
+res AS (
+  SELECT 'res' AS kind, g2.p::BIGINT AS id,
+         '<na>' AS status, '<na>' AS notes, '<na>' AS merge_role,
+         '<na>' AS entity_ids_out,
+         g2.merged_count::BIGINT AS merged_count,
+         coalesce(t.c, 0)::BIGINT AS evidence_transferred,
+         coalesce(mc.c, 0)::BIGINT AS entities_merged,
+         -424242::BIGINT AS evidence_count,
+         -424242::BIGINT AS supporting_count,
+         -424242::BIGINT AS refuting_count
+  FROM groups g2
+  LEFT JOIN trans t ON t.p = g2.p
+  LEFT JOIN ment_cnt mc ON mc.p = g2.p
+),
+member_states AS (
+  SELECT 'state' AS kind, m::BIGINT AS id, 'retracted' AS status,
+         'Merged into ' || p AS notes, 'member' AS merge_role,
+         array_to_string(list_sort(list_distinct(
+           ['e' || (m % 5), 'e' || (m % 7)])), ',') AS entity_ids_out,
+         -424242::BIGINT AS merged_count,
+         -424242::BIGINT AS evidence_transferred,
+         -424242::BIGINT AS entities_merged,
+         0::BIGINT AS evidence_count, 0::BIGINT AS supporting_count,
+         0::BIGINT AS refuting_count
+  FROM mem
+),
+prim_ev AS (
+  SELECT claim_id,
+         count(*) AS n,
+         count(*) FILTER (relationship = 'supports') AS ns,
+         count(*) FILTER (relationship = 'refutes') AS nr
+  FROM ev_final GROUP BY 1
+),
+prim_ents AS (
+  SELECT p,
+         array_to_string(list_sort(list_distinct(
+           list(e) || ['e' || (p % 5), 'e' || (p % 7)])), ',') AS eout
+  FROM ments GROUP BY p
+),
+primary_states AS (
+  SELECT 'state' AS kind, g2.p::BIGINT AS id, 'unverified' AS status,
+         '<na>' AS notes, 'primary' AS merge_role,
+         pe.eout AS entity_ids_out,
+         -424242::BIGINT AS merged_count,
+         -424242::BIGINT AS evidence_transferred,
+         -424242::BIGINT AS entities_merged,
+         coalesce(pv.n, 0)::BIGINT AS evidence_count,
+         coalesce(pv.ns, 0)::BIGINT AS supporting_count,
+         coalesce(pv.nr, 0)::BIGINT AS refuting_count
+  FROM groups g2
+  JOIN prim_ents pe ON pe.p = g2.p
+  LEFT JOIN prim_ev pv ON pv.claim_id = g2.p
+),
+ev_rows AS (
+  SELECT 'ev' AS kind, claim_id::BIGINT AS id, '<na>' AS status,
+         '<na>' AS notes, '<na>' AS merge_role, '<na>' AS entity_ids_out,
+         -424242::BIGINT AS merged_count,
+         -424242::BIGINT AS evidence_transferred,
+         -424242::BIGINT AS entities_merged,
+         count(*)::BIGINT AS evidence_count,
+         -424242::BIGINT AS supporting_count,
+         -424242::BIGINT AS refuting_count
+  FROM ev_final GROUP BY claim_id
+)
+SELECT * FROM res UNION ALL SELECT * FROM member_states
+UNION ALL SELECT * FROM primary_states UNION ALL SELECT * FROM ev_rows
+"""

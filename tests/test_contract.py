@@ -41,7 +41,9 @@ def test_every_part_query_is_served_exactly_once():
     # merged names don't shadow an existing part except the deliberate
     # reuses (the merged entry keeps the part's public name)
     shadowed = (set(MERGES) | {PROFILE_JOIN[0]}) & set(QUERIES)
-    assert shadowed == {"mentions", "neardup_jaccard", "interval_conflicts"}
+    assert shadowed == {
+        "mentions", "neardup_jaccard", "interval_conflicts", "claims"
+    }
     # every absorbed part exists in the part registry with an oracle
     for src in absorbed:
         assert src in QUERIES and src in ORACLE_SQL, src
