@@ -131,7 +131,9 @@ MERGES: dict[str, tuple[list, list]] = {
         [("vec_id", _B), ("score", _D), ("k", _B), ("recall_ok", _BO)],
         [("brute", "embedding_knn", {"vec_id": "vec_id", "score": "cosine"}),
          ("lsh", "ann_lsh_topk", {"vec_id": "vec_id", "score": "score"}),
-         ("ivf", "ann_ivf_topk", {"k": "k", "recall_ok": "recall_ok"})],
+         ("ivf", "ann_ivf_topk", {"k": "k", "recall_ok": "recall_ok"}),
+         ("fivf", "ann_ivf_filtered",
+          {"k": "k", "recall_ok": "recall_ok"})],
     ),
     "container_extracts": (
         [("url", _S), ("lang", _S), ("member_name", _S), ("ts", _S),

@@ -239,6 +239,7 @@ def fit_ivf(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 7,
+    carry_cols: list[str] | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Fit the IVF coarse quantizer ONCE: k-means the corpus into
     `n_clusters` inverted lists (the pgvector-ivfflat analogue,
@@ -257,12 +258,15 @@ def fit_ivf(
     from pyspark.ml.functions import array_to_vector
 
     v = F.col(vec_col).cast("array<double>")
-    feats = emb.select(F.col(id_col), v.alias("v")).withColumn(
+    carry = [F.col(c) for c in (carry_cols or [])]
+    feats = emb.select(F.col(id_col), v.alias("v"), *carry).withColumn(
         "features", array_to_vector(F.col("v"))
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
     assigned = model.transform(feats).select(
-        F.col(id_col), "v", F.col(model.getPredictionCol()).alias("list_id")
+        F.col(id_col), "v",
+        F.col(model.getPredictionCol()).alias("list_id"),
+        *[F.col(c) for c in (carry_cols or [])],
     )
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     return centers, assigned
@@ -275,10 +279,22 @@ def ivf_probe(
     k: int = 10,
     id_col: str = "vec_id",
     n_probe: int = 2,
+    predicate=None,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """Scan only the `n_probe` inverted lists whose centroids are nearest
     the query; rank by exact cosine. Probed fraction ≈ n_probe/n_clusters;
-    recall grows with n_probe (IVF's standard knob)."""
+    recall grows with n_probe (IVF's standard knob).
+
+    `predicate` is the payload-filtered arm (vectors.py:856-934 — the
+    reference ANDs `payload @> filter::jsonb` into the ivfflat scan,
+    :920-925): a Column over metadata columns carried through
+    `fit_ivf(..., carry_cols=[...])`. Applied BEFORE the distance
+    projection, so over materialized inverted lists (write_bucketed on
+    list_id) Catalyst pushes BOTH the probe's `list_id IN (...)` (file
+    pruning, SelectedBucketsCount) and the payload predicate
+    (PushedFilters) into the parquet scan — rows failing the filter never
+    reach the cosine math. `score_threshold` mirrors :927-930."""
     import numpy as np
 
     c = np.asarray(centers)
@@ -287,12 +303,15 @@ def ivf_probe(
     probes = [int(i) for i in np.argsort(d2)[:n_probe]]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.where(F.col("list_id").isin(probes))
-        .select(F.col(id_col), _score("cosine", F.col("v"), qcol).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    scan = assigned.where(F.col("list_id").isin(probes))
+    if predicate is not None:
+        scan = scan.where(predicate)
+    scored = scan.select(
+        F.col(id_col), _score("cosine", F.col("v"), qcol).alias("score")
     )
+    if score_threshold is not None:
+        scored = scored.where(F.col("score") >= float(score_threshold))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def ivf_topk(

@@ -2641,3 +2641,41 @@ SELECT conflict_type, severity, event1_id, event2_id, doc1, doc2,
        coalesce(text1, '<na>') AS text1, coalesce(text2, '<na>') AS text2
 FROM allc
 """
+
+
+@register("ann_ivf_filtered", None)  # recall oracle below (pinned floor)
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-filtered IVF ANN (vectors.py:856-934, filter arm
+    :920-925): metadata predicate + probe pruning applied before the
+    distance math (see ivf_probe docstring; plan-verified in
+    tests/test_bucketing.py). Recall gate: with category = vec_id % 2
+    and the filter category = 1, the query's odd planted clones
+    (vec_ids 1/3/5/7/9, within 0.9% of vec 0) are the exact filtered
+    top-5; they share the query's inverted list for any KMeans init and
+    n_probe=4 of 16 always covers it, so ≥4/5 is robust."""
+    from .operators.similarity import brute_force_topk, fit_ivf, ivf_probe
+
+    d = _derived_emb(spark, sf_dir).withColumn(
+        "category", (F.col("vec_id") % 2).cast("int")
+    )
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    pool = d.where(F.col("vec_id") != 0)
+    centers, assigned = fit_ivf(pool, n_clusters=16, carry_cols=["category"])
+    pred = F.col("category") == 1
+    ann = ivf_probe(
+        assigned, centers, qv, k=5, n_probe=4, predicate=pred
+    ).select("vec_id")
+    exact = brute_force_topk(pool.where(pred), qv, k=5).select("vec_id")
+    return exact.join(ann, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    ).select(
+        F.lit(5).cast("long").alias("k"),
+        (F.col("n_hits") >= 4).alias("recall_ok"),
+    )
+
+
+ORACLE_EXT2["ann_ivf_filtered"] = "SELECT 5::BIGINT AS k, true AS recall_ok"
