@@ -74,13 +74,25 @@ MERGES: dict[str, tuple[list, list]] = {
     ),
     "anomalies": (
         [("id", _B), ("metric", _S), ("z_score", _D), ("severity", _S),
-         ("dist", _D), ("confidence", _D)],
+         ("dist", _D), ("confidence", _D), ("entropy_global", _D),
+         ("n_high_regions", _B), ("max_region_entropy", _D),
+         ("magic_expected", _S), ("magic_actual", _S),
+         ("file_mismatch", _BO), ("findings", _S), ("scan_status", _S)],
         [("zscore_len", "zscore_len_anomaly",
           {"id": "doc_id", "metric": "metric", "z_score": "z_score",
            "severity": "severity"}),
          ("embedding", "embedding_anomaly",
           {"id": "vec_id", "z_score": "z_score", "dist": "dist",
-           "confidence": "confidence"})],
+           "confidence": "confidence"}),
+         ("hidden", "hidden_content",
+          {"id": "doc_id", "confidence": "stego_confidence",
+           "entropy_global": "entropy_global",
+           "n_high_regions": "n_high_regions",
+           "max_region_entropy": "max_region_entropy",
+           "magic_expected": "magic_expected",
+           "magic_actual": "magic_actual",
+           "file_mismatch": "file_mismatch", "findings": "findings",
+           "scan_status": "scan_status"})],
     ),
     "simhash_neardup": (
         [("id_a", _B), ("id_b", _B), ("val", _B), ("bits", _S),

@@ -269,7 +269,15 @@ def detect_gaps(
 ) -> DataFrame:
     """Chronological gaps > 3× the median gap and > 30 days
     (conflicts.py:200-257). The median is the reference's exact pick:
-    sorted_gaps[len(gaps) // 2]. Fewer than 3 events → no conflicts."""
+    sorted_gaps[len(gaps) // 2]. Fewer than 3 events → no conflicts.
+
+    With no `group_col` the whole input is ONE timeline — the reference's
+    call shape (one project per scan), which is inherently a total order,
+    so Spark plans a single-partition window (it warns `No Partition
+    Defined`; correct and bounded here because a single timeline that
+    needs a global sort is small by construction). At corpus scale pass
+    `group_col` (project/case id): every window then partitions by it and
+    the lag/median math runs per-group in parallel."""
     ev = _prep(events)
     g = (
         F.col(group_col)

@@ -99,8 +99,17 @@ _CAPPED_FOOTER = " common boilerplate footer shared"
 
 
 def q_neardup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _neardup_docs(spark, sf_dir).select(
-        "doc_id", F.concat(F.col("text"), F.lit(_CAPPED_FOOTER)).alias("text")
+    # the df-cap gate needs the planted hot shingle, not the whole corpus:
+    # doc_id < 30000 bounds this part at large SF (covers all of sf<=0.01
+    # and half of sf0.1) so the ENTRY doesn't pay the brute join twice —
+    # the uncapped part above stays full-corpus as the honest oracle lane
+    docs = (
+        _neardup_docs(spark, sf_dir)
+        .where(F.col("doc_id") < 30000)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_CAPPED_FOOTER)).alias("text"),
+        )
     )
     return ngram_jaccard_pairs(docs, threshold=0.8, df_cap=30)
 
@@ -112,6 +121,7 @@ WITH nd AS (
                 || ' common boilerplate footer shared' AS text
   FROM documents d
   JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10
+  WHERE d.doc_id < 30000
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(

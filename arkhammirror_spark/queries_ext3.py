@@ -1961,3 +1961,191 @@ ev_rows AS (
 SELECT * FROM res UNION ALL SELECT * FROM member_states
 UNION ALL SELECT * FROM primary_states UNION ALL SELECT * FROM ev_rows
 """
+
+
+# ---------------------------------------------------------------------------
+# Hidden-content / steganography scan (anomalies/hidden_content.py:65-531)
+# over formula-generated payloads: 3x1024-byte chunks per doc built
+# natively via unhex (headers by doc_id%3: PNG / %PDF- / non-UTF8), body
+# byte formulas give exact chunk entropies (two-value ~1 bit, j%16 = 4
+# bits, j%64 = 6 bits, odd-multiplier full cycles = 8.0 bits), so the
+# oracle recomputes Shannon entropy from the SAME byte distribution in
+# SQL (GROUP BY byte value, -sum(p*log2 p)). doc_id%2 plants one
+# high-entropy chunk (entropy_spike arm), doc_id%10==9 makes every chunk
+# near-uniform (high_global_entropy arm), ext by doc_id%4 vs the sniffed
+# MIME drives the mismatch decision table. Image arms are exercised by
+# the differential + DataFrame tests (tests/test_hidden_content.py) --
+# the kind-0 rows here pass an image MIME with an undecodable payload,
+# gating the reference's silent-arm-absent path (:212-214).
+# ---------------------------------------------------------------------------
+
+
+def _hidden_payload_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _load
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 60
+    )
+    kind = F.col("doc_id") % 3
+    hot = F.col("doc_id") % 10 == 9
+    v = F.col("doc_id") % 2
+
+    hdr = F.when(kind == 0, F.array(*[F.lit(x) for x in
+                                      [137, 80, 78, 71, 13, 10, 26, 10]]))\
+        .when(kind == 1, F.array(*[F.lit(x) for x in
+                                   [37, 80, 68, 70, 45, 49, 46, 52]]))\
+        .otherwise(F.array(*[F.lit(x) for x in
+                             [254, 255, 65, 66, 67, 68, 69, 70]]))
+
+    def body(j):
+        # j is the absolute position column (8..3071)
+        did = F.col("doc_id")
+        hot_byte = (
+            F.when(j < 1024, (j * 37 + did) % 256)
+            .when(j < 2048, (j * 31 + did) % 256)
+            .otherwise((j * 29 + did) % 256)
+        )
+        cold_byte = (
+            F.when(j < 1024, F.lit(65) + (did + j) % 2)
+            .when(
+                j < 2048,
+                F.when(v == 1, (j * 31 + did) % 256).otherwise(j % 16),
+            )
+            .otherwise(j % 64)
+        )
+        return F.when(hot, hot_byte).otherwise(cold_byte)
+
+    bytes_arr = F.concat(
+        hdr,
+        F.transform(F.sequence(F.lit(8), F.lit(3071)), body),
+    )
+    hexstr = F.array_join(
+        F.transform(
+            bytes_arr, lambda b: F.lpad(F.hex(b.cast("bigint")), 2, "0")
+        ),
+        "",
+    )
+    ext = F.element_at(
+        F.array(F.lit(".png"), F.lit(".pdf"), F.lit(".txt"), F.lit(".xyz")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    mime = F.when(kind == 0, F.lit("image/png")).otherwise(
+        F.lit("text/plain")
+    )
+    return ids.select(
+        "doc_id",
+        F.unhex(hexstr).alias("data"),
+        ext.alias("ext"),
+        mime.alias("mime"),
+    )
+
+
+@register("hidden_content", None)  # oracle below
+def q_hidden_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hidden_content import hidden_content_scan
+
+    media = _hidden_payload_spark(spark, sf_dir)
+    out = hidden_content_scan(
+        media, id_col="doc_id", with_hashes=False
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("entropy_global", 6).alias("entropy_global"),
+        F.col("n_regions").cast("long"),
+        F.col("n_high_regions").cast("long"),
+        F.round("max_region_entropy", 6).alias("max_region_entropy"),
+        "magic_expected", "magic_actual", "file_mismatch",
+        "findings",
+        F.round("stego_confidence", 6).alias("stego_confidence"),
+        "scan_status",
+    )
+
+
+ORACLE_EXT3["hidden_content"] = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+bytes AS (
+  SELECT doc_id, p.j,
+         CASE
+           WHEN p.j < 8 THEN
+             CASE doc_id % 3
+               WHEN 0 THEN [137,80,78,71,13,10,26,10][p.j + 1]
+               WHEN 1 THEN [37,80,68,70,45,49,46,52][p.j + 1]
+               ELSE [254,255,65,66,67,68,69,70][p.j + 1]
+             END
+           WHEN doc_id % 10 = 9 THEN
+             CASE WHEN p.j < 1024 THEN (p.j * 37 + doc_id) % 256
+                  WHEN p.j < 2048 THEN (p.j * 31 + doc_id) % 256
+                  ELSE (p.j * 29 + doc_id) % 256 END
+           WHEN p.j < 1024 THEN 65 + (doc_id + p.j) % 2
+           WHEN p.j < 2048 THEN
+             CASE WHEN doc_id % 2 = 1 THEN (p.j * 31 + doc_id) % 256
+                  ELSE p.j % 16 END
+           ELSE p.j % 64
+         END AS b
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, 3071)) AS j) p
+),
+chunk_counts AS (
+  SELECT doc_id, j // 1024 AS c, b, count(*) AS n
+  FROM bytes GROUP BY 1, 2, 3
+),
+chunk_ent AS (
+  SELECT doc_id, c,
+         -sum((n / 1024.0) * log2(n / 1024.0)) AS e
+  FROM chunk_counts GROUP BY 1, 2
+),
+glob_counts AS (
+  SELECT doc_id, b, count(*) AS n FROM bytes GROUP BY 1, 2
+),
+glob_ent AS (
+  SELECT doc_id, -sum((n / 3072.0) * log2(n / 3072.0)) AS e
+  FROM glob_counts GROUP BY 1
+),
+per_doc AS (
+  SELECT i.doc_id,
+         g.e AS entropy_global,
+         3::BIGINT AS n_regions,
+         (SELECT count(*) FROM chunk_ent ce
+           WHERE ce.doc_id = i.doc_id AND ce.e >= 7.0) AS n_high,
+         (SELECT max(e) FROM chunk_ent ce
+           WHERE ce.doc_id = i.doc_id) AS max_e,
+         CASE i.doc_id % 3 WHEN 0 THEN 'image/png'
+              WHEN 1 THEN 'application/pdf'
+              ELSE 'application/octet-stream' END AS actual,
+         CASE i.doc_id % 4 WHEN 0 THEN 'image/png'
+              WHEN 1 THEN 'application/pdf'
+              WHEN 2 THEN 'text/plain'
+              ELSE 'unknown' END AS expected
+  FROM ids i JOIN glob_ent g USING (doc_id)
+),
+scanned AS (
+  SELECT doc_id, entropy_global, n_regions, n_high, max_e,
+         expected, actual,
+         CASE WHEN expected = 'unknown' THEN false
+              ELSE expected <> actual END AS mismatch,
+         entropy_global >= 7.5 AS glob_hi
+  FROM per_doc
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(entropy_global, 6)::DOUBLE AS entropy_global,
+       n_regions, n_high::BIGINT AS n_high_regions,
+       round(max_e, 6)::DOUBLE AS max_region_entropy,
+       expected AS magic_expected, actual AS magic_actual,
+       mismatch AS file_mismatch,
+       concat_ws('|',
+         CASE WHEN n_high > 0
+              THEN 'Found ' || n_high || ' high-entropy regions' END,
+         CASE WHEN glob_hi
+              THEN 'Very high global entropy: '
+                   || printf('%.3f', entropy_global) END,
+         CASE WHEN mismatch
+              THEN 'File type mismatch: expected ' || expected
+                   || ', found ' || actual END
+       ) AS findings,
+       round(CASE
+         WHEN mismatch THEN 0.9
+         WHEN glob_hi THEN 0.8
+         WHEN n_high > 0 THEN 0.7
+         ELSE 0.0 END, 6)::DOUBLE AS stego_confidence,
+       'completed' AS scan_status
+FROM scanned
+"""

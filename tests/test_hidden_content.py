@@ -1,0 +1,481 @@
+"""Differential tests: operators/hidden_content.py vs the ACTUAL
+reference HiddenContentDetector (anomalies/hidden_content.py) with its
+I/O dependencies shimmed — scipy.stats.chi2.cdf replaced by the exact
+df=1 closed form (erf), PIL.Image.open by an in-memory pixel provider,
+python-magic by the repo's own sniffer — so the entropy math, chi-square
+suspicion rule, pair-of-values accounting, mismatch decision table, and
+full_scan composition all execute the reference's own code paths."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import random
+import sys
+import types
+
+import pytest
+
+REF_PKG = ("/root/reference/packages/arkham-shard-anomalies/"
+           "arkham_shard_anomalies")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_PKG), reason="reference tree not available"
+)
+
+
+class _StubImage:
+    """PIL.Image stand-in over a numpy array: the exact surface
+    analyze_lsb_image/analyze_histogram touch (:162-166, :323-328)."""
+
+    def __init__(self, arr):
+        import numpy as np
+
+        self._arr = np.asarray(arr)
+        self.mode = "L" if self._arr.ndim == 2 else (
+            "RGBA" if self._arr.shape[-1] == 4 else "RGB"
+        )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def convert(self, mode):
+        import numpy as np
+
+        assert mode == "RGB"
+        a = self._arr
+        if a.ndim == 2:
+            a = np.stack([a, a, a], axis=2)
+        return _StubImage(a[..., :3])
+
+    def getdata(self):
+        if self._arr.ndim == 2:
+            return [int(v) for v in self._arr.ravel()]
+        return [tuple(int(c) for c in px) for px in
+                self._arr.reshape(-1, self._arr.shape[-1])]
+
+    def histogram(self):
+        import numpy as np
+
+        a = self._arr
+        assert a.ndim == 3
+        out = []
+        for c in range(a.shape[-1]):
+            out.extend(
+                int(x) for x in
+                np.bincount(a[..., c].ravel().astype(np.int64),
+                            minlength=256)
+            )
+        return out
+
+
+_IMAGES: dict[str, object] = {}   # path -> array, consumed by the PIL stub
+_PAYLOADS: dict[str, bytes] = {}  # path -> bytes, consumed by the magic stub
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Load the real models.py + hidden_content.py with scipy/PIL/magic
+    shimmed. The scipy shim is the EXACT df=1 chi-square CDF
+    (erf(sqrt(x/2))) — the same function scipy evaluates at :193."""
+    if "arkham_shard_anomalies.hidden_content" in sys.modules:
+        m = sys.modules
+        return (m["arkham_shard_anomalies.models"],
+                m["arkham_shard_anomalies.hidden_content"])
+
+    scipy = types.ModuleType("scipy")
+    stats = types.ModuleType("scipy.stats")
+    chi2 = types.SimpleNamespace(
+        cdf=lambda x, df: math.erf(math.sqrt(x / 2.0)) if x > 0 else 0.0
+    )
+    stats.chi2 = chi2
+    scipy.stats = stats
+    sys.modules.setdefault("scipy", scipy)
+    sys.modules.setdefault("scipy.stats", stats)
+
+    pil = types.ModuleType("PIL")
+
+    class _ImageMod:
+        @staticmethod
+        def open(path):
+            return _StubImage(_IMAGES[path])
+
+    pil.Image = _ImageMod
+    sys.modules["PIL"] = pil
+    sys.modules["PIL.Image"] = types.ModuleType("PIL.Image")
+    sys.modules["PIL.Image"].open = _ImageMod.open
+
+    from arkhammirror_spark.operators.hidden_content import sniff_mime
+
+    magic_mod = types.ModuleType("magic")
+
+    class _Magic:
+        def __init__(self, mime=True):
+            pass
+
+        def from_file(self, path):
+            return sniff_mime(_PAYLOADS[path])
+
+    magic_mod.Magic = _Magic
+    sys.modules["magic"] = magic_mod
+
+    pkg = types.ModuleType("arkham_shard_anomalies")
+    pkg.__path__ = [REF_PKG]
+    sys.modules.setdefault("arkham_shard_anomalies", pkg)
+    mspec = importlib.util.spec_from_file_location(
+        "arkham_shard_anomalies.models", f"{REF_PKG}/models.py"
+    )
+    models = importlib.util.module_from_spec(mspec)
+    sys.modules["arkham_shard_anomalies.models"] = models
+    mspec.loader.exec_module(models)
+    hspec = importlib.util.spec_from_file_location(
+        "arkham_shard_anomalies.hidden_content",
+        f"{REF_PKG}/hidden_content.py",
+    )
+    hidden = importlib.util.module_from_spec(hspec)
+    sys.modules["arkham_shard_anomalies.hidden_content"] = hidden
+    hspec.loader.exec_module(hidden)
+    return models, hidden
+
+
+def _payload_corpus():
+    rng = random.Random(41)
+    out = {
+        "empty": b"",
+        "tiny": b"abc",
+        "uniform": bytes(range(256)) * 8,
+        "low": b"A" * 4096,
+        "mixed": (b"\x89PNG\r\n\x1a\n" + b"A" * 1016
+                  + bytes((i * 31) % 256 for i in range(1024))
+                  + bytes(i % 16 for i in range(1024))),
+        "trailing": b"B" * (1024 + 40),  # 40-byte tail chunk skipped
+        "trailing_kept": b"C" * (1024 + 64),
+        "random": bytes(rng.randrange(256) for _ in range(5000)),
+    }
+    return out
+
+
+def test_entropy_parity(ref):
+    from arkhammirror_spark.operators.hidden_content import shannon_entropy
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    for name, data in _payload_corpus().items():
+        assert shannon_entropy(data) == pytest.approx(
+            det.calculate_entropy(data), rel=1e-12, abs=1e-12
+        ), name
+
+
+def test_entropy_regions_parity(ref):
+    from arkhammirror_spark.operators.hidden_content import entropy_regions
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    for name, data in _payload_corpus().items():
+        exp = det.analyze_entropy_regions(data)
+        got = entropy_regions(data)
+        assert len(got) == len(exp), name
+        for g, e in zip(got, exp):
+            assert g[0] == e.start_offset and g[1] == e.end_offset
+            assert g[2] == pytest.approx(e.entropy_value, rel=1e-12)
+            assert g[3] == e.is_anomalous
+            assert g[4] == e.description
+
+
+def test_mismatch_decision_table_parity(ref, tmp_path):
+    """detect_file_type_mismatch (:236-282) with magic shimmed to the
+    repo sniffer: the (is_mismatch, expected, actual) tuples must agree
+    across the full extension matrix and a mime matrix per extension."""
+    from arkhammirror_spark.operators.hidden_content import (
+        EXT_MIME_MAP, mime_mismatch, sniff_mime,
+    )
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    payloads = {
+        "png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
+        "jpg": b"\xff\xd8\xff\xe0" + b"\x00" * 64,
+        "pdf": b"%PDF-1.7\n%%EOF",
+        "zip": b"PK\x03\x04" + b"\x00" * 64,
+        "gz": b"\x1f\x8b\x08" + b"\x00" * 64,
+        "txt": b"plain ascii text content here",
+        "html": b"<!doctype html><html><body>x</body></html>",
+        "wav": b"RIFF\x24\x00\x00\x00WAVEfmt ",
+        "bin": b"\xfe\xed\xfa\xce" + bytes(range(200)),
+    }
+    exts = list(EXT_MIME_MAP) + [".xyz", ""]
+    for pname, payload in payloads.items():
+        p = tmp_path / f"f_{pname}"
+        p.write_bytes(payload)
+        _PAYLOADS[str(p)] = payload
+        for ext in exts:
+            exp = det.detect_file_type_mismatch(str(p), ext)
+            got = mime_mismatch(ext, sniff_mime(payload))
+            assert got == exp, (pname, ext)
+
+
+def _pixel_images():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    imgs = {
+        # natural-ish: biased LSBs -> not suspicious
+        "biased": (rng.randint(0, 256, (40, 40, 3)) & 0xFE).astype(np.uint8),
+        # flat 50/50 LSBs -> suspicious (stego signature)
+        "stego": np.stack([
+            np.indices((40, 40)).sum(axis=0) % 2 + 100
+            for _ in range(3)
+        ], axis=2).astype(np.uint8),
+        "random_rgb": rng.randint(0, 256, (30, 50, 3)).astype(np.uint8),
+        "gray": rng.randint(0, 256, (32, 32)).astype(np.uint8),
+        "rgba": rng.randint(0, 256, (20, 20, 4)).astype(np.uint8),
+        # pairs-of-values: adjacent bins near-equal -> histogram suspicious
+        "pov": np.repeat(
+            np.arange(0, 256, dtype=np.uint8), 4
+        ).reshape(32, 32)[..., None].repeat(3, axis=2),
+    }
+    return imgs
+
+
+def test_lsb_parity(ref, tmp_path):
+    from arkhammirror_spark.operators.hidden_content import lsb_stats
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    for name, arr in _pixel_images().items():
+        path = str(tmp_path / f"{name}.png")
+        _IMAGES[path] = arr
+        exp = det.analyze_lsb_image(path)
+        got = lsb_stats(arr)
+        assert exp is not None and got is not None, name
+        assert got["sample_size"] == exp.sample_size, name
+        assert got["bit_ratio"] == pytest.approx(exp.bit_ratio, rel=1e-12)
+        assert got["chi_square_value"] == pytest.approx(
+            exp.chi_square_value, rel=1e-12
+        )
+        assert got["chi_square_p_value"] == pytest.approx(
+            exp.chi_square_p_value, rel=1e-9, abs=1e-12
+        )
+        assert got["is_suspicious"] == exp.is_suspicious, name
+        assert got["confidence"] == pytest.approx(exp.confidence, rel=1e-12)
+    # both polarity outcomes exercised
+    assert lsb_stats(_pixel_images()["stego"])["is_suspicious"]
+    assert not lsb_stats(_pixel_images()["biased"])["is_suspicious"]
+
+
+def test_histogram_parity(ref, tmp_path):
+    from arkhammirror_spark.operators.hidden_content import (
+        histogram_pair_stats,
+    )
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    for name, arr in _pixel_images().items():
+        path = str(tmp_path / f"h_{name}.png")
+        _IMAGES[path] = arr
+        exp = det.analyze_histogram(path)
+        got = histogram_pair_stats(arr)
+        assert exp is not None and got is not None, name
+        for k in ("r_pair_ratio", "g_pair_ratio", "b_pair_ratio",
+                  "average_pair_ratio"):
+            assert got[k] == pytest.approx(exp[k], rel=1e-12), (name, k)
+        assert got["is_suspicious"] == exp["is_suspicious"], name
+    assert histogram_pair_stats(_pixel_images()["pov"])["is_suspicious"]
+
+
+def test_full_scan_parity(ref, tmp_path):
+    """full_scan (:366-502): findings strings, indicator types and
+    confidences, and stego_confidence agree for payload/image matrices
+    that fire every arm (entropy spike, high global entropy, mismatch,
+    LSB, histogram) and the clean path."""
+    from arkhammirror_spark.operators.hidden_content import scan_payload
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    rng = random.Random(71)
+    high_entropy = bytes(rng.randrange(256) for _ in range(4096))
+    cases = [
+        # (name, payload, ext, mime, image array or None)
+        ("clean_txt", b"hello plain text " * 100, ".txt", "text/plain",
+         None),
+        ("entropy_spike", b"A" * 1024 + high_entropy[:1024] + b"B" * 1024,
+         ".txt", "text/plain", None),
+        ("high_global", high_entropy, ".txt", "text/plain", None),
+        ("mismatch", b"%PDF-1.7 " + b"x" * 500, ".png", "image/png", None),
+        ("image_stego", b"\x89PNG\r\n\x1a\n" + b"\x00" * 256, ".png",
+         "image/png", _pixel_images()["stego"]),
+        ("image_pov", b"\x89PNG\r\n\x1a\n" + b"\x00" * 256, ".png",
+         "image/png", _pixel_images()["pov"]),
+        ("image_clean", b"\x89PNG\r\n\x1a\n" + b"\x00" * 256, ".png",
+         "image/png", _pixel_images()["biased"]),
+    ]
+    for name, payload, ext, mime, arr in cases:
+        path = str(tmp_path / f"fs_{name}")
+        (tmp_path / f"fs_{name}").write_bytes(payload)
+        _PAYLOADS[path] = payload
+        if arr is not None:
+            _IMAGES[path] = arr
+        exp = det.full_scan("doc-" + name, path, payload, ext, mime)
+        if arr is not None:
+            got = _scan_with_image(payload, ext, mime, arr)
+        else:
+            got = scan_payload(payload, ext, mime)
+
+        assert exp.scan_status.value == got["scan_status"], name
+        exp_findings = "|".join(exp.findings)
+        assert got["findings"] == exp_findings, name
+        exp_inds = sorted(
+            (i.indicator_type, round(i.confidence, 12))
+            for i in exp.stego_indicators
+        )
+        got_inds = _indicators_from_row(got)
+        assert got_inds == exp_inds, name
+        assert got["stego_confidence"] == pytest.approx(
+            exp.stego_confidence, rel=1e-12
+        ), name
+        assert got["entropy_global"] == pytest.approx(
+            exp.entropy_global, rel=1e-12
+        ), name
+        assert got["file_mismatch"] == exp.file_mismatch, name
+        assert got["magic_expected"] == exp.magic_expected
+        assert got["magic_actual"] == exp.magic_actual
+
+
+def _scan_with_image(payload, ext, mime, arr, monkey=None):
+    """Run scan_payload with decode_image shimmed to the known pixels —
+    the payload is not a real container; the image-arm MATH is what the
+    parity checks."""
+    from unittest import mock
+
+    from arkhammirror_spark.operators import hidden_content as hc
+    from arkhammirror_spark.operators import multimodal
+
+    with mock.patch.object(multimodal, "decode_image", lambda p, pil: arr), \
+            mock.patch.object(multimodal, "_load_pil", lambda: None):
+        return hc.scan_payload(payload, ext, mime)
+
+
+def _indicators_from_row(got) -> list[tuple[str, float]]:
+    """Reconstruct the indicator (type, confidence) set the row implies —
+    mirrors the full_scan composition rules."""
+    inds = []
+    if got["n_high_regions"]:
+        inds.append(("entropy_spike", 0.7))
+    if got["entropy_global"] and got["entropy_global"] >= 7.5:
+        inds.append(("high_global_entropy", 0.8))
+    if got["file_mismatch"]:
+        inds.append(("file_type_mismatch", 0.9))
+    if got["lsb_suspicious"]:
+        inds.append(("lsb_pattern", round(got["lsb_confidence"], 12)))
+    if got["hist_suspicious"]:
+        inds.append(("histogram_anomaly", 0.6))
+    return sorted(inds)
+
+
+def test_quick_scan_parity(ref):
+    from arkhammirror_spark.operators.hidden_content import (
+        entropy_regions, shannon_entropy,
+    )
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    for name, data in _payload_corpus().items():
+        exp = det.quick_scan("d", data)
+        e = shannon_entropy(data)
+        n_high = sum(1 for r in entropy_regions(data) if r[3])
+        assert e == pytest.approx(exp["global_entropy"], rel=1e-12), name
+        assert (e >= 7.5) == exp["is_high_entropy"]
+        assert n_high == exp["suspicious_regions"]
+        assert (n_high > 0 or e >= 7.0) == exp["requires_full_scan"]
+
+
+def test_size_gate(ref, tmp_path):
+    from arkhammirror_spark.operators.hidden_content import scan_payload
+
+    _, hidden = ref
+    det = hidden.HiddenContentDetector()
+    big = b"x" * (2 * 1024 * 1024)
+    path = str(tmp_path / "big")
+    (tmp_path / "big").write_bytes(big)
+    _PAYLOADS[path] = big
+    det.config.max_file_size_mb = 1
+    try:
+        exp = det.full_scan("d", path, big, ".txt", "text/plain")
+    finally:
+        det.config.max_file_size_mb = 100
+    got = scan_payload(big, ".txt", "text/plain", max_file_size_mb=1)
+    assert got["findings"] == exp.findings[0]
+    assert got["entropy_global"] is None
+    assert got["stego_confidence"] == 0.0
+
+
+def test_lsb_strided_sampling_deterministic():
+    """Above the 10k-pixel cap the reference samples randomly (unseeded,
+    :170) — this engine strides deterministically: same input → same
+    output, sample size pinned, ratio near the full-image ratio."""
+    import numpy as np
+
+    from arkhammirror_spark.operators.hidden_content import lsb_stats
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (200, 200, 3)).astype(np.uint8)
+    a = lsb_stats(arr)
+    b = lsb_stats(arr)
+    assert a == b
+    assert a["sample_size"] == 10000 * 3
+    full = (arr[..., :3] & 1).mean()
+    assert abs(a["bit_ratio"] - full) < 0.02
+
+
+def test_hidden_content_scan_dataframe(ref, spark):
+    """The DataFrame op end-to-end: real BMP payloads through the stdlib
+    decode lane, formula payloads through the entropy/mismatch arms;
+    rows equal scan_payload and hashes match hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    from arkhammirror_spark.operators.hidden_content import (
+        hidden_content_scan, quick_scan, scan_payload,
+    )
+    from arkhammirror_spark.operators.multimodal import encode_bmp
+
+    rng = random.Random(9)
+    bmp_arr = (np.indices((16, 16)).sum(axis=0) % 2 + 100).astype(np.uint8)
+    bmp_arr = np.stack([bmp_arr] * 3, axis=2)
+    rows = [
+        ("m1", encode_bmp(bmp_arr), ".bmp", "image/bmp"),
+        ("m2", b"%PDF-1.7 " + b"q" * 300, ".png", "image/png"),
+        ("m3", bytes(rng.randrange(256) for _ in range(2048)), ".txt",
+         "text/plain"),
+        ("m4", b"plain words " * 200, ".txt", "text/plain"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, data binary, ext string, mime string"
+    )
+    got = {r["media_id"]: r.asDict()
+           for r in hidden_content_scan(media).collect()}
+    assert set(got) == {"m1", "m2", "m3", "m4"}
+    for mid, data, ext, mime in rows:
+        exp = scan_payload(data, ext, mime)
+        g = got[mid]
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert g[k] == pytest.approx(v, rel=1e-12), (mid, k)
+            else:
+                assert g[k] == v, (mid, k)
+        assert g["md5"] == hashlib.md5(data).hexdigest()
+        assert g["sha256"] == hashlib.sha256(data).hexdigest()
+        assert g["sha512"] == hashlib.sha512(data).hexdigest()
+    # the real-BMP row exercised the image arms through the stdlib decode
+    assert got["m1"]["lsb_bit_ratio"] is not None
+    assert got["m1"]["hist_avg"] is not None
+    assert got["m2"]["file_mismatch"] is True
+
+    qs = {r["media_id"]: r.asDict() for r in quick_scan(media).collect()}
+    assert qs["m3"]["is_high_entropy"] or qs["m3"]["requires_full_scan"]
+    assert not qs["m4"]["requires_full_scan"]
