@@ -87,8 +87,14 @@ def ref():
         return (m["arkham_shard_anomalies.models"],
                 m["arkham_shard_anomalies.hidden_content"])
 
+    import importlib.machinery
+
     scipy = types.ModuleType("scipy")
     stats = types.ModuleType("scipy.stats")
+    # pyspark's have_package() calls find_spec("scipy"), which raises on a
+    # registered module whose __spec__ is None — give the stubs real specs
+    scipy.__spec__ = importlib.machinery.ModuleSpec("scipy", None)
+    stats.__spec__ = importlib.machinery.ModuleSpec("scipy.stats", None)
     chi2 = types.SimpleNamespace(
         cdf=lambda x, df: math.erf(math.sqrt(x / 2.0)) if x > 0 else 0.0
     )
@@ -460,8 +466,16 @@ def test_hidden_content_scan_dataframe(ref, spark):
     got = {r["media_id"]: r.asDict()
            for r in hidden_content_scan(media).collect()}
     assert set(got) == {"m1", "m2", "m3", "m4"}
+    # executors have no PIL, so they decode through the stdlib lane; the
+    # local expectation must too (the module-scope ref fixture leaves a
+    # PIL *stub* in sys.modules that _load_pil would otherwise pick up)
+    from unittest import mock
+
+    from arkhammirror_spark.operators import multimodal
+
     for mid, data, ext, mime in rows:
-        exp = scan_payload(data, ext, mime)
+        with mock.patch.object(multimodal, "_load_pil", lambda: None):
+            exp = scan_payload(data, ext, mime)
         g = got[mid]
         for k, v in exp.items():
             if isinstance(v, float):
