@@ -125,10 +125,20 @@ MERGES: dict[str, tuple[list, list]] = {
           {"name": "community", "size": "size"})],
     ),
     "graph_centrality": (
-        [("node", _S), ("score", _D), ("rank_pos", _I)],
+        [("node", _S), ("score", _D), ("rank_pos", _I),
+         ("entity_type", _S), ("centrality_s", _D), ("frequency_s", _D),
+         ("recency_s", _D), ("credibility_s", _D),
+         ("corroboration_s", _D), ("source_count", _B)],
         [("pagerank", "graph_pagerank", {"node": "name", "score": "rank"}),
          ("betweenness", "graph_betweenness",
-          {"node": "node", "score": "score", "rank_pos": "rank"})],
+          {"node": "node", "score": "score", "rank_pos": "rank"}),
+         ("composite", "composite_scores",
+          {"node": "entity_id", "score": "composite",
+           "rank_pos": "rank_pos", "entity_type": "entity_type",
+           "centrality_s": "centrality_s", "frequency_s": "frequency_s",
+           "recency_s": "recency_s", "credibility_s": "credibility_s",
+           "corroboration_s": "corroboration_s",
+           "source_count": "source_count"})],
     ),
     "graph_overview": (
         [("entity_name", _S), ("degree", _B), ("n_nodes", _B),

@@ -1,0 +1,482 @@
+"""Composite entity-importance scoring + the three centralities it adds.
+
+Reference lineage: arkham-shard-graph/scoring.py (`CompositeScorer`):
+- ``calculate_scores`` (:150-234): per-entity composite = normalized
+  weights · (centrality, frequency, recency, credibility, corroboration)
+  × entity-type weight; rank by composite descending.
+- ``_calculate_centrality_scores`` (:236-283): raw centrality normalized
+  by the max, node-id → entity-id mapped.
+- ``_calculate_frequency_scores`` (:285-330): TF-IDF style — tf =
+  distinct-document count (falling back to ``node.document_count`` when
+  the entity has no mention docs), idf = ln(total_docs/doc_count + 1),
+  normalized by max.
+- ``_calculate_recency_scores`` (:332-381): max over mentions of
+  exp(−λ·age), λ = ln2 / half-life; no mentions → 0.0, mentions but no
+  usable date (or full underflow) → 0.5; disabled half-life → 1.0.
+- ``_calculate_credibility_scores`` (:383-424): mean source rating over
+  rated mentions, 0.5 neutral everywhere ratings are absent.
+- ``_calculate_corroboration_scores`` (:426-462): distinct-source count
+  (fallback ``document_count``), score = 1 − 1/count, ≤1 → 0.
+- ``_eigenvector_centrality`` (:563-605) / ``_hits_centrality``
+  (:607-664) / ``_closeness_centrality`` (:666-713): the three
+  centralities the scorer adds beyond the repo's existing
+  pagerank/betweenness/degree lanes.
+
+The reference scores ONE ≤500-node visualization graph per call in
+driver Python; here the component scores and the composition are
+corpus-wide DataFrame aggregations (mention tables join once per
+component, every agg map-side combinable), so importance ranks over the
+full entity graph in a fixed number of shuffles. The centralities keep
+the repo's two-lane pattern: exact driver ports for the reference's
+≤500-cap envelope (differential-tested), plus a join-per-round
+distributed eigenvector (the CC/PageRank shape, per-round
+localCheckpoint) for graphs past it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+@dataclass
+class CompositeConfig:
+    """ScoreConfig mirror (scoring.py:21-64)."""
+
+    centrality_type: str = "pagerank"
+    centrality_weight: float = 0.25
+    frequency_weight: float = 0.20
+    recency_weight: float = 0.20
+    credibility_weight: float = 0.20
+    corroboration_weight: float = 0.15
+    recency_half_life_days: int | None = 30
+    entity_type_weights: dict[str, float] = field(default_factory=dict)
+
+    def normalized_weights(self) -> dict[str, float]:
+        total = (
+            self.centrality_weight + self.frequency_weight
+            + self.recency_weight + self.credibility_weight
+            + self.corroboration_weight
+        )
+        if total == 0:
+            return {k: 0.2 for k in (
+                "centrality", "frequency", "recency", "credibility",
+                "corroboration")}
+        return {
+            "centrality": self.centrality_weight / total,
+            "frequency": self.frequency_weight / total,
+            "recency": self.recency_weight / total,
+            "credibility": self.credibility_weight / total,
+            "corroboration": self.corroboration_weight / total,
+        }
+
+
+# --- driver parity lane: the reference's own ≤500-cap envelope ----------
+
+
+def _sym_adjacency(edge_rows) -> dict[str, list[tuple[str, float]]]:
+    """_build_adjacency (:466-472): symmetric weighted lists."""
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, t, w in edge_rows:
+        adj.setdefault(s, []).append((t, float(w)))
+        adj.setdefault(t, []).append((s, float(w)))
+    return adj
+
+
+def eigenvector_centrality(
+    edge_rows, node_ids, max_iterations: int = 100, tolerance: float = 1e-6
+) -> dict[str, float]:
+    """Power iteration with per-round L2 normalization (:563-605)."""
+    adj = _sym_adjacency(edge_rows)
+    scores = {nid: 1.0 for nid in node_ids}
+    for _ in range(max_iterations):
+        new = {
+            nid: sum(scores.get(nb, 0.0) * w for nb, w in adj.get(nid, []))
+            for nid in node_ids
+        }
+        norm = math.sqrt(sum(v * v for v in new.values()))
+        if norm > 0:
+            new = {k: v / norm for k, v in new.items()}
+        diff = max(abs(new[n] - scores[n]) for n in node_ids)
+        scores = new
+        if diff < tolerance:
+            break
+    return scores
+
+
+def hits_authority(
+    edge_rows, node_ids, max_iterations: int = 100, tolerance: float = 1e-6
+) -> dict[str, float]:
+    """HITS over the SYMMETRIC adjacency, authority side (:607-664) —
+    the reference builds undirected adjacency, so hubs and authorities
+    update against the same neighbor lists; the exact update order
+    (auth from old hubs, hubs from NEW auths, each L2-normalized) is
+    preserved."""
+    adj = _sym_adjacency(edge_rows)
+    hub = {nid: 1.0 for nid in node_ids}
+    auth = {nid: 1.0 for nid in node_ids}
+    for _ in range(max_iterations):
+        new_auth = {
+            nid: sum(hub.get(src, 0.0) * w for src, w in adj.get(nid, []))
+            for nid in node_ids
+        }
+        norm = math.sqrt(sum(v * v for v in new_auth.values()))
+        if norm > 0:
+            new_auth = {k: v / norm for k, v in new_auth.items()}
+        new_hub = {
+            nid: sum(new_auth.get(t, 0.0) * w for t, w in adj.get(nid, []))
+            for nid in node_ids
+        }
+        norm = math.sqrt(sum(v * v for v in new_hub.values()))
+        if norm > 0:
+            new_hub = {k: v / norm for k, v in new_hub.items()}
+        diff = max(abs(new_auth[n] - auth[n]) for n in node_ids)
+        hub, auth = new_hub, new_auth
+        if diff < tolerance:
+            break
+    return auth
+
+
+def closeness_centrality(
+    edge_rows, node_ids, sample_cap: int = 50
+) -> dict[str, float]:
+    """BFS closeness = 1/avg-distance over reachable nodes (:666-713),
+    including the reference's sampling quirks verbatim: only the FIRST
+    ``sample_cap`` nodes in ``node_ids`` order are computed, the rest
+    get the sampled average — node order is part of the semantics."""
+    from collections import deque
+
+    adj: dict[str, list[str]] = {}
+    for s, t, _w in edge_rows:
+        adj.setdefault(s, []).append(t)
+        adj.setdefault(t, []).append(s)
+    scores: dict[str, float] = {}
+    for nid in node_ids[:sample_cap]:
+        dist = {nid: 0}
+        q = deque([nid])
+        while q:
+            cur = q.popleft()
+            for nb in adj.get(cur, []):
+                if nb not in dist:
+                    dist[nb] = dist[cur] + 1
+                    q.append(nb)
+        reachable = len(dist) - 1
+        if reachable > 0:
+            avg = sum(dist.values()) / reachable
+            scores[nid] = 1.0 / avg if avg > 0 else 0.0
+        else:
+            scores[nid] = 0.0
+    avg_score = sum(scores.values()) / len(scores) if scores else 0.0
+    for nid in node_ids:
+        if nid not in scores:
+            scores[nid] = avg_score
+    return scores
+
+
+# --- distributed eigenvector (graphs past the driver envelope) ----------
+
+
+def eigenvector_centrality_distributed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = "weight",
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+) -> DataFrame:
+    """Join-per-round power iteration: scores(v) ← Σ w(u,v)·scores(u)
+    over the symmetric edge frame, L2-normalized each round, stopping at
+    max|Δ| < tolerance — the same fixed point as the driver lane. Each
+    round is ONE shuffle (join on the score key + map-side-combinable
+    agg); norm and delta fold into a single 1-row agg so convergence
+    costs no extra pass. Per-round eager localCheckpoint keeps lineage
+    flat (the CC/PageRank invariant). Returns (node, score)."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col and weight_col in edges.columns
+        else F.lit(1.0)
+    )
+    sym = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b"),
+            w.alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b"),
+                w.alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    scores = nodes.withColumn("score", F.lit(1.0)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iterations):
+        contrib = (
+            sym.join(scores, sym["a"] == scores["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("raw"))
+        )
+        raw = (
+            nodes.join(contrib, "node", "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+        )
+        norm_row = raw.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("norm")
+        ).collect()[0]
+        norm = norm_row["norm"] or 0.0
+        new = raw.select(
+            "node",
+            (F.col("raw") / F.lit(norm if norm > 0 else 1.0)).alias(
+                "score"
+            ),
+        ).localCheckpoint(eager=True)
+        delta = (
+            new.alias("n")
+            .join(scores.alias("o"), "node")
+            .agg(
+                F.max(F.abs(F.col("n.score") - F.col("o.score"))).alias(
+                    "d"
+                )
+            )
+            .collect()[0]["d"]
+        )
+        scores = new
+        if delta is not None and delta < tolerance:
+            break
+    return scores
+
+
+# --- corpus-wide component scores + composition --------------------------
+
+
+def composite_entity_scores(
+    nodes: DataFrame,
+    mentions: DataFrame | None = None,
+    credibility: DataFrame | None = None,
+    centrality: DataFrame | None = None,
+    config: CompositeConfig | None = None,
+    reference_date=None,
+) -> DataFrame:
+    """calculate_scores (:150-234) over DataFrames.
+
+    ``nodes``: (node_id, entity_id, label, entity_type, degree,
+    document_count). ``mentions``: (entity_id, document_id, mention_date,
+    source_id) — any column may be null. ``credibility``: (source_id,
+    rating). ``centrality``: (node_id, raw) precomputed by any of the
+    repo's centrality lanes; None → degree centrality (:255-256, raw =
+    node degree). ``reference_date``: an ISO string/date for the recency
+    clock — REQUIRED when recency is enabled (the reference defaults to
+    utcnow(), :347, which a deterministic engine must pin explicitly).
+
+    Returns one row per node with every component score, the composite,
+    source_count, and rank (composite desc, entity_id tiebreak — the
+    reference's stable sort ties on input order, which has no
+    distributed meaning)."""
+    cfg = config or CompositeConfig()
+    weights = cfg.normalized_weights()
+
+    n = nodes.select(
+        "node_id", "entity_id", "label", "entity_type",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("document_count").cast("long").alias("document_count"),
+    )
+
+    # centrality: raw/max, node-keyed (:271-283)
+    cent_raw = (
+        centrality.select("node_id", F.col("raw").cast("double").alias("raw"))
+        if centrality is not None
+        else n.select("node_id", F.col("degree").cast("double").alias("raw"))
+    )
+    cent_max = cent_raw.agg(
+        F.max(F.when(F.col("raw") > 0, F.col("raw"))).alias("m")
+    ).withColumn("_k", F.lit(1))
+    cent = (
+        cent_raw.withColumn("_k", F.lit(1))
+        .join(F.broadcast(cent_max), "_k")
+        .select(
+            "node_id",
+            (F.col("raw") / F.coalesce(F.col("m"), F.lit(1.0))).alias(
+                "centrality_score"
+            ),
+        )
+    )
+
+    m = (
+        mentions
+        if mentions is not None
+        else n.sparkSession.createDataFrame(
+            [],
+            "entity_id string, document_id string, mention_date date, "
+            "source_id string",
+        )
+    )
+
+    # frequency (:285-330): tf·idf over distinct docs, max-normalized
+    ent_docs = m.where(F.col("document_id").isNotNull()).groupBy(
+        "entity_id"
+    ).agg(F.count_distinct("document_id").alias("n_docs"))
+    # total_docs counts docs of GRAPH entities only (:296-303)
+    total_docs = (
+        m.where(F.col("document_id").isNotNull())
+        .join(n.select("entity_id").distinct(), "entity_id", "left_semi")
+        .agg(F.count_distinct("document_id").alias("total"))
+        .withColumn("_k", F.lit(1))
+    )
+    freq_raw = (
+        n.join(ent_docs, "entity_id", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total_docs), "_k")
+        .select(
+            "entity_id",
+            F.coalesce("n_docs", F.col("document_count")).alias("dc"),
+            F.greatest(F.coalesce("total", F.lit(0)), F.lit(1)).alias(
+                "td"
+            ),
+        )
+        .select(
+            "entity_id",
+            F.when(
+                F.col("dc") > 0,
+                F.col("dc") * F.log(F.col("td") / F.col("dc") + 1),
+            ).otherwise(F.lit(0.0)).alias("raw"),
+        )
+    )
+    freq_max = freq_raw.agg(
+        F.max(F.when(F.col("raw") > 0, F.col("raw"))).alias("m")
+    ).withColumn("_k", F.lit(1))
+    freq = (
+        freq_raw.withColumn("_k", F.lit(1))
+        .join(F.broadcast(freq_max), "_k")
+        .select(
+            "entity_id",
+            (F.col("raw") / F.coalesce(F.col("m"), F.lit(1.0))).alias(
+                "frequency_score"
+            ),
+        )
+    )
+
+    # recency (:332-381): max exp-decay over dated mentions
+    if cfg.recency_half_life_days is None:
+        rec = n.select("entity_id", F.lit(1.0).alias("recency_score"))
+    else:
+        if reference_date is None:
+            raise ValueError(
+                "reference_date is required when recency is enabled — "
+                "the engine pins the reference clock explicitly"
+            )
+        lam = math.log(2) / (cfg.recency_half_life_days * 86400.0)
+        # mention_date is DATE-granular: age = datediff·86400, exactly
+        # the reference's (ref − midnight-date).total_seconds() when the
+        # reference clock is also midnight-pinned (which a deterministic
+        # engine requires anyway)
+        ref_d = F.lit(str(reference_date)).cast("date")
+        age_s = F.greatest(
+            F.lit(0.0),
+            F.datediff(ref_d, F.col("mention_date")).cast("double")
+            * 86400.0,
+        )
+        per_ent = (
+            m.groupBy("entity_id").agg(
+                F.max(
+                    F.when(
+                        F.col("mention_date").isNotNull(),
+                        F.exp(-F.lit(lam) * age_s),
+                    )
+                ).alias("max_rec"),
+            )
+        )
+        rec = n.join(per_ent, "entity_id", "left").select(
+            "entity_id",
+            F.when(F.col("max_rec") > 0, F.col("max_rec"))
+            .when(F.col("max_rec").isNotNull(), F.lit(0.5))
+            .otherwise(
+                # entity has mention rows but none dated → 0.5; no
+                # mention rows at all → 0.0 (:355-357, :379)
+                F.lit(None)
+            ).alias("r"),
+        ).join(
+            m.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_m")),
+            "entity_id", "left",
+        ).select(
+            "entity_id",
+            F.coalesce(
+                "r",
+                F.when(F.coalesce("n_m", F.lit(0)) > 0, 0.5).otherwise(
+                    0.0
+                ),
+            ).alias("recency_score"),
+        )
+
+    # credibility (:383-424)
+    if credibility is None:
+        cred = n.select("entity_id", F.lit(0.5).alias("credibility_score"))
+    else:
+        rated = m.join(
+            credibility.select(
+                F.col("source_id").alias("_sid"),
+                F.col("rating").cast("double").alias("rating"),
+            ),
+            m["source_id"] == F.col("_sid"),
+        )
+        per_ent = rated.groupBy("entity_id").agg(
+            F.avg("rating").alias("avg_rating")
+        )
+        cred = n.join(per_ent, "entity_id", "left").select(
+            "entity_id",
+            F.coalesce("avg_rating", F.lit(0.5)).alias(
+                "credibility_score"
+            ),
+        )
+
+    # corroboration (:426-462) + source_count (:209-211)
+    srcs = m.where(F.col("source_id").isNotNull()).groupBy(
+        "entity_id"
+    ).agg(F.count_distinct("source_id").alias("n_src"))
+    corr = n.join(srcs, "entity_id", "left").select(
+        "entity_id",
+        F.coalesce("n_src", F.lit(0)).alias("source_count"),
+        F.when(
+            F.coalesce("n_src", F.lit(0)) <= 0, F.col("document_count")
+        ).otherwise(F.col("n_src")).alias("cnt"),
+    ).select(
+        "entity_id", "source_count",
+        F.when(F.col("cnt") <= 1, F.lit(0.0)).otherwise(
+            1.0 - 1.0 / F.col("cnt")
+        ).alias("corroboration_score"),
+    )
+
+    # type weight + composite (:197-207)
+    tw = F.lit(1.0)
+    for etype, wgt in cfg.entity_type_weights.items():
+        tw = F.when(F.col("entity_type") == etype, F.lit(float(wgt))).otherwise(tw)
+
+    out = (
+        n.join(cent, "node_id")
+        .join(freq, "entity_id")
+        .join(rec, "entity_id")
+        .join(cred, "entity_id")
+        .join(corr, "entity_id")
+        .withColumn(
+            "composite_score",
+            (
+                F.lit(weights["centrality"]) * F.col("centrality_score")
+                + F.lit(weights["frequency"]) * F.col("frequency_score")
+                + F.lit(weights["recency"]) * F.col("recency_score")
+                + F.lit(weights["credibility"]) * F.col("credibility_score")
+                + F.lit(weights["corroboration"])
+                * F.col("corroboration_score")
+            ) * tw,
+        )
+    )
+    rank_w = Window.orderBy(F.desc("composite_score"), F.asc("entity_id"))
+    return out.withColumn("rank", F.row_number().over(rank_w)).select(
+        "node_id", "entity_id", "label", "entity_type",
+        "centrality_score", "frequency_score", "recency_score",
+        "credibility_score", "corroboration_score", "composite_score",
+        "degree", "document_count", "source_count", "rank",
+    )

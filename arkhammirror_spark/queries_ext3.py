@@ -2149,3 +2149,215 @@ SELECT doc_id::BIGINT AS doc_id,
        'completed' AS scan_status
 FROM scanned
 """
+
+
+# ---------------------------------------------------------------------------
+# Composite entity-importance scoring (graph/scoring.py:150-462) over an
+# analytically-known graph: 40 entities with formula degrees/doc-counts,
+# i%5 mentions each (doc d{(2i+k)%9}, date 2026-(1+(i+k)%5)-(1+k) when
+# (i+k)%4>0, source s{(i+k)%4} when k%2==0), ratings s0/.9 s1/.4 s2/.7.
+# Degree centrality keeps every arm SQL-expressible; the five other
+# centrality types are gated by the differential suite
+# (tests/test_graph_scoring.py). Weights are the reference defaults
+# (.25/.20/.20/.20/.15, already normalized) with type weights
+# person=1.2 / location=0.9, recency half-life 30d pinned to 2026-06-01.
+# ---------------------------------------------------------------------------
+
+
+@register("composite_scores", None)  # oracle below
+def q_composite_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph_scoring import (
+        CompositeConfig, composite_entity_scores,
+    )
+    from .queries import _load
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 40
+    )
+    i = F.col("doc_id")
+    nodes = ids.select(
+        F.concat(F.lit("n"), i.cast("string")).alias("node_id"),
+        F.concat(F.lit("E"), i.cast("string")).alias("entity_id"),
+        F.concat(F.lit("Entity "), i.cast("string")).alias("label"),
+        F.element_at(
+            F.array(F.lit("person"), F.lit("organization"),
+                    F.lit("location")),
+            (i % 3 + 1).cast("int"),
+        ).alias("entity_type"),
+        ((i * 3) % 11).cast("long").alias("degree"),
+        ((i * 5) % 7).cast("long").alias("document_count"),
+    )
+    ks = ids.where(i % 5 > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), i % 5 - 1)).alias("k")
+    )
+    ik = F.col("doc_id") + F.col("k")
+    mentions = ks.select(
+        F.concat(F.lit("E"), F.col("doc_id").cast("string")).alias(
+            "entity_id"
+        ),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 2 + F.col("k")) % 9).cast(
+                "string"
+            )
+        ).alias("document_id"),
+        F.when(
+            ik % 4 > 0,
+            F.make_date(
+                F.lit(2026), (F.lit(1) + ik % 5).cast("int"),
+                (F.lit(1) + F.col("k")).cast("int"),
+            ),
+        ).alias("mention_date"),
+        F.when(
+            F.col("k") % 2 == 0,
+            F.concat(F.lit("s"), (ik % 4).cast("string")),
+        ).alias("source_id"),
+    )
+    cred = spark.createDataFrame(
+        [("s0", 0.9), ("s1", 0.4), ("s2", 0.7)],
+        "source_id string, rating double",
+    )
+    cfg = CompositeConfig(
+        centrality_type="degree",
+        entity_type_weights={"person": 1.2, "location": 0.9},
+    )
+    out = composite_entity_scores(
+        nodes, mentions=mentions, credibility=cred, config=cfg,
+        reference_date="2026-06-01",
+    )
+    return out.select(
+        "node_id", "entity_id", "entity_type",
+        F.round("centrality_score", 6).alias("centrality_s"),
+        F.round("frequency_score", 6).alias("frequency_s"),
+        F.round("recency_score", 6).alias("recency_s"),
+        F.round("credibility_score", 6).alias("credibility_s"),
+        F.round("corroboration_score", 6).alias("corroboration_s"),
+        F.round("composite_score", 6).alias("composite"),
+        F.col("source_count").cast("long").alias("source_count"),
+        F.col("rank").cast("int").alias("rank_pos"),
+    )
+
+
+ORACLE_EXT3["composite_scores"] = """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+nodes AS (
+  SELECT i, 'n' || i AS node_id, 'E' || i AS entity_id,
+         ['person','organization','location'][(i % 3 + 1)::INT]
+           AS entity_type,
+         (i * 3) % 11 AS degree, (i * 5) % 7 AS document_count
+  FROM ids
+),
+ments AS (
+  SELECT i, 'E' || i AS entity_id,
+         'd' || ((i * 2 + g.k) % 9) AS document_id,
+         CASE WHEN (i + g.k) % 4 > 0 THEN
+           make_date(2026, (1 + (i + g.k) % 5)::INT, (1 + g.k)::INT)
+         END AS mention_date,
+         CASE WHEN g.k % 2 = 0 THEN 's' || ((i + g.k) % 4) END
+           AS source_id
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, (i % 5 - 1)::INT)) AS k) g
+  WHERE i % 5 > 0
+),
+ratings AS (
+  SELECT * FROM (VALUES ('s0', 0.9), ('s1', 0.4), ('s2', 0.7))
+    AS r(source_id, rating)
+),
+cent AS (
+  SELECT entity_id,
+         degree::DOUBLE /
+           (SELECT max(degree) FROM nodes WHERE degree > 0)
+           AS centrality_s
+  FROM nodes
+),
+ent_docs AS (
+  SELECT entity_id, count(DISTINCT document_id) AS n_docs
+  FROM ments WHERE document_id IS NOT NULL GROUP BY 1
+),
+tot AS (
+  SELECT greatest(count(DISTINCT document_id), 1) AS td FROM ments
+  WHERE document_id IS NOT NULL
+),
+freq_raw AS (
+  SELECT n.entity_id,
+         CASE WHEN coalesce(e.n_docs, n.document_count) > 0 THEN
+           coalesce(e.n_docs, n.document_count)
+             * ln(t.td::DOUBLE / coalesce(e.n_docs, n.document_count)
+                  + 1)
+         ELSE 0.0 END AS raw
+  FROM nodes n LEFT JOIN ent_docs e USING (entity_id), tot t
+),
+freq AS (
+  SELECT entity_id,
+         raw / coalesce(
+           (SELECT max(raw) FROM freq_raw WHERE raw > 0), 1.0)
+           AS frequency_s
+  FROM freq_raw
+),
+rec_per AS (
+  SELECT entity_id,
+         max(CASE WHEN mention_date IS NOT NULL THEN
+           exp(-ln(2) * datediff('day', mention_date,
+                                 DATE '2026-06-01') / 30.0)
+         END) AS max_rec,
+         count(*) AS n_m
+  FROM ments GROUP BY 1
+),
+rec AS (
+  SELECT n.entity_id,
+         CASE WHEN r.max_rec > 0 THEN r.max_rec
+              WHEN r.max_rec IS NOT NULL THEN 0.5
+              WHEN coalesce(r.n_m, 0) > 0 THEN 0.5
+              ELSE 0.0 END AS recency_s
+  FROM nodes n LEFT JOIN rec_per r USING (entity_id)
+),
+cred_per AS (
+  SELECT m.entity_id, avg(r.rating) AS avg_rating
+  FROM ments m JOIN ratings r USING (source_id)
+  GROUP BY 1
+),
+cred AS (
+  SELECT n.entity_id, coalesce(c.avg_rating, 0.5) AS credibility_s
+  FROM nodes n LEFT JOIN cred_per c USING (entity_id)
+),
+srcs AS (
+  SELECT entity_id, count(DISTINCT source_id) AS n_src
+  FROM ments WHERE source_id IS NOT NULL GROUP BY 1
+),
+corr AS (
+  SELECT n.entity_id, coalesce(s.n_src, 0) AS source_count,
+         CASE WHEN coalesce(
+                CASE WHEN coalesce(s.n_src, 0) <= 0
+                     THEN n.document_count
+                     ELSE s.n_src END, 0) <= 1 THEN 0.0
+              ELSE 1.0 - 1.0 / (CASE WHEN coalesce(s.n_src, 0) <= 0
+                                     THEN n.document_count
+                                     ELSE s.n_src END)
+         END AS corroboration_s
+  FROM nodes n LEFT JOIN srcs s USING (entity_id)
+),
+composed AS (
+  SELECT n.node_id, n.entity_id, n.entity_type,
+         c.centrality_s, f.frequency_s, r.recency_s, cd.credibility_s,
+         co.corroboration_s, co.source_count,
+         (0.25 * c.centrality_s + 0.20 * f.frequency_s
+          + 0.20 * r.recency_s + 0.20 * cd.credibility_s
+          + 0.15 * co.corroboration_s)
+         * CASE n.entity_type WHEN 'person' THEN 1.2
+                WHEN 'location' THEN 0.9 ELSE 1.0 END AS composite
+  FROM nodes n
+  JOIN cent c USING (entity_id) JOIN freq f USING (entity_id)
+  JOIN rec r USING (entity_id) JOIN cred cd USING (entity_id)
+  JOIN corr co USING (entity_id)
+)
+SELECT node_id, entity_id, entity_type,
+       round(centrality_s, 6)::DOUBLE AS centrality_s,
+       round(frequency_s, 6)::DOUBLE AS frequency_s,
+       round(recency_s, 6)::DOUBLE AS recency_s,
+       round(credibility_s, 6)::DOUBLE AS credibility_s,
+       round(corroboration_s, 6)::DOUBLE AS corroboration_s,
+       round(composite, 6)::DOUBLE AS composite,
+       source_count::BIGINT AS source_count,
+       row_number() OVER (ORDER BY composite DESC, entity_id ASC)::INT
+         AS rank_pos
+FROM composed
+"""
