@@ -142,12 +142,23 @@ MERGES: dict[str, tuple[list, list]] = {
     ),
     "graph_overview": (
         [("entity_name", _S), ("degree", _B), ("n_nodes", _B),
-         ("n_edges", _B), ("density", _D), ("avg_degree", _D)],
+         ("n_edges", _B), ("density", _D), ("avg_degree", _D),
+         ("kind", _S), ("snapshot_idx", _B), ("snapshot_date", _S),
+         ("nodes_added", _B), ("nodes_removed", _B), ("edges_added", _B),
+         ("edges_removed", _B)],
         [("stats", "graph_stats",
           {"n_nodes": "n_nodes", "n_edges": "n_edges", "density": "density",
            "avg_degree": "avg_degree"}),
          ("degrees", "edge_degrees",
-          {"entity_name": "entity_name", "degree": "degree"})],
+          {"entity_name": "entity_name", "degree": "degree"}),
+         ("temporal", "temporal_snapshots",
+          {"kind": "kind", "snapshot_idx": "snapshot_idx",
+           "snapshot_date": "snapshot_date", "n_nodes": "n_nodes",
+           "n_edges": "n_edges", "density": "density",
+           "nodes_added": "nodes_added",
+           "nodes_removed": "nodes_removed",
+           "edges_added": "edges_added",
+           "edges_removed": "edges_removed"})],
     ),
     "ann_topk": (
         [("vec_id", _B), ("score", _D), ("k", _B), ("recall_ok", _BO)],

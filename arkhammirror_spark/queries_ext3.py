@@ -2361,3 +2361,141 @@ SELECT node_id, entity_id, entity_type,
          AS rank_pos
 FROM composed
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal graph snapshots (graph/temporal.py:189-407): mention fixture
+# 'E'||i%20 x 'd'||i%13 at 2026-01-01 + (i*11)%120 days, 5 snapshots at
+# 30-day steps, BOTH membership modes — cumulative (monotone counts,
+# structurally zero removals) and windowed (inclusive 30-day windows,
+# real removals + re-appearances). The oracle recomputes membership,
+# deltas, and density from the same formulas in SQL.
+# ---------------------------------------------------------------------------
+
+
+@register("temporal_snapshots", None)  # oracle below
+def q_temporal_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from .operators.graph_temporal import snapshot_series
+    from .queries import _load
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    i = F.col("doc_id")
+    mentions = ids.select(
+        F.concat(F.lit("E"), (i % 20).cast("string")).alias("entity_id"),
+        F.concat(F.lit("d"), (i % 13).cast("string")).alias(
+            "document_id"
+        ),
+        F.date_add(
+            F.lit("2026-01-01").cast("date"),
+            ((i * 11) % 120).cast("int"),
+        ).alias("created_at"),
+    )
+    start = datetime.date(2026, 1, 1)
+    end = datetime.date(2026, 5, 1)  # 120 days
+    frames = []
+    for kind, cumulative in [("cum", True), ("win", False)]:
+        s = snapshot_series(
+            mentions, start, end, 30, cumulative=cumulative
+        )
+        frames.append(s.select(
+            F.lit(kind).alias("kind"),
+            "snapshot_idx",
+            F.col("snapshot_date").cast("string").alias("snapshot_date"),
+            F.col("node_count").alias("n_nodes"),
+            F.col("edge_count").alias("n_edges"),
+            F.round("density", 6).alias("density"),
+            "nodes_added", "nodes_removed", "edges_added",
+            "edges_removed",
+        ))
+    return frames[0].unionByName(frames[1])
+
+
+ORACLE_EXT3["temporal_snapshots"] = """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 300),
+m AS (
+  SELECT DISTINCT 'E' || (i % 20) AS e, 'd' || (i % 13) AS doc,
+         DATE '2026-01-01' + ((i * 11) % 120)::INT AS d
+  FROM ids
+),
+snaps AS (
+  SELECT g.k, DATE '2026-01-01' + (30 * g.k)::INT AS sd
+  FROM (SELECT unnest(generate_series(0, 4)) AS k) g
+),
+ef AS (SELECT e, min(d) AS d0 FROM m GROUP BY 1),
+def_ AS (SELECT doc, e, min(d) AS d0 FROM m GROUP BY 1, 2),
+pf AS (
+  SELECT a.e AS s, b.e AS t, min(greatest(a.d0, b.d0)) AS d0
+  FROM def_ a JOIN def_ b ON a.doc = b.doc AND a.e < b.e
+  GROUP BY 1, 2
+),
+efk AS (
+  SELECT e, greatest(ceil(
+    datediff('day', DATE '2026-01-01', d0) / 30.0), 0) AS kf
+  FROM ef
+),
+pfk AS (
+  SELECT s, t, greatest(ceil(
+    datediff('day', DATE '2026-01-01', d0) / 30.0), 0) AS kf
+  FROM pf
+),
+cum AS (
+  SELECT 'cum' AS kind, s.k,
+         (SELECT count(*) FROM efk WHERE kf <= s.k) AS n_nodes,
+         (SELECT count(*) FROM pfk WHERE kf <= s.k) AS n_edges,
+         (SELECT count(*) FROM efk WHERE kf = s.k) AS nodes_added,
+         0 AS nodes_removed,
+         (SELECT count(*) FROM pfk WHERE kf = s.k) AS edges_added,
+         0 AS edges_removed,
+         s.sd
+  FROM snaps s
+),
+mn AS (
+  SELECT DISTINCT m.e, s.k
+  FROM m JOIN snaps s ON m.d <= s.sd AND m.d >= s.sd - 30
+),
+med AS (
+  SELECT DISTINCT m.doc, m.e, s.k
+  FROM m JOIN snaps s ON m.d <= s.sd AND m.d >= s.sd - 30
+),
+me AS (
+  SELECT DISTINCT a.e AS s_, b.e AS t, a.k
+  FROM med a JOIN med b
+    ON a.doc = b.doc AND a.k = b.k AND a.e < b.e
+),
+win AS (
+  SELECT 'win' AS kind, s.k,
+         (SELECT count(*) FROM mn WHERE mn.k = s.k) AS n_nodes,
+         (SELECT count(*) FROM me WHERE me.k = s.k) AS n_edges,
+         (SELECT count(*) FROM mn x WHERE x.k = s.k AND NOT EXISTS (
+            SELECT 1 FROM mn y WHERE y.e = x.e AND y.k = s.k - 1))
+           AS nodes_added,
+         (SELECT count(*) FROM mn x WHERE x.k = s.k - 1 AND NOT EXISTS (
+            SELECT 1 FROM mn y WHERE y.e = x.e AND y.k = s.k))
+           AS nodes_removed,
+         (SELECT count(*) FROM me x WHERE x.k = s.k AND NOT EXISTS (
+            SELECT 1 FROM me y
+            WHERE y.s_ = x.s_ AND y.t = x.t AND y.k = s.k - 1))
+           AS edges_added,
+         (SELECT count(*) FROM me x WHERE x.k = s.k - 1 AND NOT EXISTS (
+            SELECT 1 FROM me y
+            WHERE y.s_ = x.s_ AND y.t = x.t AND y.k = s.k))
+           AS edges_removed,
+         s.sd
+  FROM snaps s
+),
+u AS (SELECT * FROM cum UNION ALL SELECT * FROM win)
+SELECT kind, k::BIGINT AS snapshot_idx, sd::VARCHAR AS snapshot_date,
+       n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+       round(n_edges / (CASE WHEN n_nodes > 1
+                        THEN n_nodes * (n_nodes - 1) / 2.0
+                        ELSE 1.0 END), 6)::DOUBLE AS density,
+       nodes_added::BIGINT AS nodes_added,
+       nodes_removed::BIGINT AS nodes_removed,
+       edges_added::BIGINT AS edges_added,
+       edges_removed::BIGINT AS edges_removed
+FROM u
+"""
