@@ -365,6 +365,18 @@ MERGES: dict[str, tuple[list, list]] = {
            "supporting_count": "supporting_count",
            "refuting_count": "refuting_count"})],
     ),
+    "graph_ego": (
+        [("entity_a", _S), ("entity_b", _S), ("co_occurrence_count", _B),
+         ("weight", _D), ("kind", _S), ("n", _B), ("strength", _D),
+         ("flag", _BO)],
+        [("ego", "graph_ego",
+          {"entity_a": "entity_a", "entity_b": "entity_b",
+           "co_occurrence_count": "co_occurrence_count",
+           "weight": "weight"}),
+         ("causal", "causal_analysis",
+          {"kind": "kind", "entity_a": "a", "entity_b": "b", "n": "n",
+           "strength": "strength", "flag": "flag"})],
+    ),
     "neardup_jaccard": (
         [("id_a", _B), ("id_b", _B), ("jaccard", _D)],
         [("exact", "neardup_jaccard",

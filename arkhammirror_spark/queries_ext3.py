@@ -1704,7 +1704,14 @@ def q_similar_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("claim_text"),
     )
-    out = similar_claims(claims, threshold=0.8, limit=10)
+    # df_cap above the 240-claim fixture size → every token is a join
+    # key and recall is exact (the brute-equivalent arm, mirroring the
+    # oracle); production blocking recall (rare-token ∪ fingerprint) is
+    # the documented contract in operators.contradictions, exercised by
+    # the differential suite — at sf0.001 the tiny soup vocabulary makes
+    # cross-group tokens corpus-common, exactly the recall gap the
+    # docstring warns about
+    out = similar_claims(claims, threshold=0.8, limit=10, df_cap=100000)
     return out.select(
         F.col("claim_id").cast("long"),
         F.col("matched_claim_id").cast("long"),
@@ -2498,4 +2505,195 @@ SELECT kind, k::BIGINT AS snapshot_idx, sd::VARCHAR AS snapshot_date,
        edges_added::BIGINT AS edges_added,
        edges_removed::BIGINT AS edges_removed
 FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Causal graph analysis (graph/causal.py:109-586) over an index-ordered
+# fixture DAG (V{c} -> V{c+4+i%3}, strengths 0.5..0.9 — offsets 4..6
+# keep the Kahn depth ~5 so the distributed layering costs ~5 rounds,
+# not 19; the max-length path prune is gated by the differential suite
+# instead): edge-order
+# witness from the DISTRIBUTED Kahn layering, DAG/cycle verdicts for the
+# acyclic fixture and a planted V19->V00 cycle, path counts/strength
+# sums and the do() effect via recursive-CTE enumeration (the fixture's
+# strictly-increasing indices make every path simple, so the oracle's
+# reachability CTEs are exact), and the confounder set for (V05, V09).
+# ---------------------------------------------------------------------------
+
+
+@register("causal_analysis", None)  # oracle below
+def q_causal_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.causal import (
+        causal_ordering_distributed,
+        find_causal_paths,
+        identify_confounders,
+        intervention_effect,
+        validate_dag,
+    )
+    from .queries import _load
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    i = F.col("doc_id")
+    ci, ei = i % 20, i % 20 + 4 + i % 3
+
+    def vname(col):
+        return F.concat(F.lit("V"), F.lpad(col.cast("string"), 2, "0"))
+
+    ed = (
+        ids.select(
+            vname(ci).alias("cause"), vname(ei).alias("effect"),
+            (0.5 + (i % 5) / 10.0).alias("strength"),
+        )
+        .where(ei <= 19)
+        .distinct()
+    )
+    edge_rows = [
+        (r["cause"], r["effect"], r["strength"]) for r in ed.collect()
+    ]
+    node_ids = sorted({c for c, _, _ in edge_rows}
+                      | {e for _, e, _ in edge_rows})
+
+    sent_b = F.lit(-424242).cast("long")
+    sent_d = F.lit(-424242.0)
+
+    # distributed Kahn layers → per-edge topological witness
+    layers = causal_ordering_distributed(ed)
+    order_rows = (
+        ed.join(
+            layers.withColumnRenamed("node", "cause")
+            .withColumnRenamed("layer", "lc"),
+            "cause",
+        )
+        .join(
+            layers.withColumnRenamed("node", "effect")
+            .withColumnRenamed("layer", "le"),
+            "effect",
+        )
+        .select(
+            F.lit("order").alias("kind"),
+            F.col("cause").alias("a"), F.col("effect").alias("b"),
+            sent_b.alias("n"), sent_d.alias("strength"),
+            ((F.col("lc") >= 0) & (F.col("lc") < F.col("le"))).alias(
+                "flag"
+            ),
+        )
+    )
+
+    driver_rows = []
+    ok, _cycles = validate_dag(edge_rows, node_ids)
+    driver_rows.append(("dag", "acyclic", "<na>", -424242, -424242.0, ok))
+    cyc_rows = edge_rows + [("V19", "V00", 0.1)]
+    ok_c, _ = validate_dag(cyc_rows, node_ids)
+    driver_rows.append(("dag", "cyclic", "<na>", -424242, -424242.0, ok_c))
+    for a, b in [("V00", "V12"), ("V03", "V15")]:
+        paths = find_causal_paths(edge_rows, a, b)
+        driver_rows.append((
+            "path", a, b, len(paths),
+            sum(p["total_strength"] for p in paths), True,
+        ))
+    for c in identify_confounders(edge_rows, "V08", "V16"):
+        driver_rows.append((
+            "confounder", "V08", c["id"], -424242, -424242.0,
+            c["affects_treatment"] and c["affects_outcome"],
+        ))
+    iv = intervention_effect(edge_rows, "V00", "V12")
+    driver_rows.append((
+        "intervention", "V00", "V12", iv["n_paths"],
+        iv["estimated_effect"], True,
+    ))
+    ddf = spark.createDataFrame(
+        driver_rows,
+        "kind string, a string, b string, n long, strength double, "
+        "flag boolean",
+    ).withColumn(
+        # HALF_UP like the DuckDB oracle; python round() is banker's
+        "strength",
+        F.when(
+            F.col("strength") != -424242.0, F.round("strength", 6)
+        ).otherwise(F.col("strength")),
+    )
+    return order_rows.unionByName(ddf)
+
+
+ORACLE_EXT3["causal_analysis"] = """
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS i FROM documents WHERE doc_id < 200
+),
+ed AS (
+  SELECT DISTINCT
+    'V' || lpad((i % 20)::VARCHAR, 2, '0') AS cause,
+    'V' || lpad((i % 20 + 4 + i % 3)::VARCHAR, 2, '0') AS effect,
+    0.5 + (i % 5) / 10.0 AS strength
+  FROM ids WHERE i % 20 + 4 + i % 3 <= 19
+),
+p AS (
+  SELECT cause AS src, effect AS cur, strength AS prod, 2 AS n_nodes
+  FROM ed WHERE cause IN ('V00', 'V03', 'V08')
+  UNION ALL
+  SELECT p.src, ed.effect, p.prod * ed.strength, p.n_nodes + 1
+  FROM p JOIN ed ON ed.cause = p.cur
+  WHERE p.n_nodes < 10
+),
+order_rows AS (
+  SELECT 'order' AS kind, cause AS a, effect AS b,
+         -424242::BIGINT AS n, -424242.0::DOUBLE AS strength,
+         true AS flag
+  FROM ed
+),
+dag_rows AS (
+  SELECT 'dag', 'acyclic', '<na>', -424242::BIGINT, -424242.0::DOUBLE,
+         true
+  UNION ALL
+  SELECT 'dag', 'cyclic', '<na>', -424242::BIGINT, -424242.0::DOUBLE,
+         false
+),
+path_rows AS (
+  SELECT 'path' AS kind, q.a, q.b,
+         count(p.cur)::BIGINT AS n,
+         round(coalesce(sum(p.prod), 0), 6)::DOUBLE AS strength,
+         true AS flag
+  FROM (VALUES ('V00', 'V12'), ('V03', 'V15')) q(a, b)
+  LEFT JOIN p ON p.src = q.a AND p.cur = q.b
+  GROUP BY q.a, q.b
+),
+reach_fwd AS (
+  -- forward reachability (paths are always simple here)
+  SELECT cause AS src, effect AS dst FROM ed
+  UNION
+  SELECT r.src, ed.effect FROM reach_fwd r
+  JOIN ed ON ed.cause = r.dst
+),
+anc AS (SELECT dst AS node, src AS ancestor FROM reach_fwd),
+onpath AS (
+  SELECT DISTINCT m.node FROM (
+    SELECT dst AS node FROM reach_fwd WHERE src = 'V08'
+  ) m
+  JOIN reach_fwd r2 ON r2.src = m.node AND r2.dst = 'V16'
+),
+conf AS (
+  SELECT a1.ancestor AS id
+  FROM anc a1 JOIN anc a2
+    ON a1.ancestor = a2.ancestor
+   AND a1.node = 'V08' AND a2.node = 'V16'
+  WHERE a1.ancestor NOT IN (SELECT node FROM onpath)
+    AND a1.ancestor NOT IN ('V08', 'V16')
+),
+conf_rows AS (
+  SELECT 'confounder' AS kind, 'V08' AS a, id AS b,
+         -424242::BIGINT AS n, -424242.0::DOUBLE AS strength,
+         true AS flag
+  FROM conf
+),
+iv_rows AS (
+  SELECT 'intervention' AS kind, 'V00' AS a, 'V12' AS b,
+         count(*)::BIGINT AS n,
+         round(avg(prod), 6)::DOUBLE AS strength, true AS flag
+  FROM p WHERE src = 'V00' AND cur = 'V12'
+)
+SELECT * FROM order_rows UNION ALL SELECT * FROM dag_rows
+UNION ALL SELECT * FROM path_rows UNION ALL SELECT * FROM conf_rows
+UNION ALL SELECT * FROM iv_rows
 """

@@ -42,7 +42,8 @@ def test_every_part_query_is_served_exactly_once():
     # reuses (the merged entry keeps the part's public name)
     shadowed = (set(MERGES) | {PROFILE_JOIN[0]}) & set(QUERIES)
     assert shadowed == {
-        "mentions", "neardup_jaccard", "interval_conflicts", "claims"
+        "mentions", "neardup_jaccard", "interval_conflicts", "claims",
+        "graph_ego",
     }
     # every absorbed part exists in the part registry with an oracle
     for src in absorbed:
