@@ -118,11 +118,15 @@ MERGES: dict[str, tuple[list, list]] = {
            "stat_potential": "stat_potential"})],
     ),
     "graph_node_labels": (
-        [("name", _S), ("label", _S), ("size", _B)],
+        [("name", _S), ("label", _S), ("size", _B), ("gkind", _S),
+         ("lat", _D), ("lng", _D), ("km", _D)],
         [("components", "graph_components",
           {"name": "name", "label": "component"}),
          ("communities", "graph_communities",
-          {"name": "community", "size": "size"})],
+          {"name": "community", "size": "size"}),
+         ("geo", "geo_analysis",
+          {"gkind": "gkind", "name": "name", "label": "label",
+           "size": "size", "lat": "lat", "lng": "lng", "km": "km"})],
     ),
     "graph_centrality": (
         [("node", _S), ("score", _D), ("rank_pos", _I),

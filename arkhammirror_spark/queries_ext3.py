@@ -2697,3 +2697,216 @@ SELECT * FROM order_rows UNION ALL SELECT * FROM dag_rows
 UNION ALL SELECT * FROM path_rows UNION ALL SELECT * FROM conf_rows
 UNION ALL SELECT * FROM iv_rows
 """
+
+
+# ---------------------------------------------------------------------------
+# Geospatial graph analysis (graph/geospatial.py:115-482): 80 fixture
+# nodes cycling the coordinate-resolution arms (explicit columns /
+# label-anchored sentence parens / DMS description / none — the
+# printf'd arm-1 strings round-trip exactly because the formula values
+# are dyadic halves and quarters), haversine edge distances over
+# numbered pairs, corpus bounds + center, and a bounds-filtered count +
+# total distance. Oracle recomputes coordinates from the generation
+# formulas and the haversine in SQL trig.
+# ---------------------------------------------------------------------------
+
+
+@register("geo_analysis", None)  # oracle below
+def q_geo_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geospatial import (
+        edge_distances, extract_geo_nodes, filter_by_bounds, geo_bounds,
+    )
+    from .queries import _load
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 80
+    )
+    i = F.col("doc_id")
+    arm = i % 4
+    lat0 = ((i * 7) % 120 - 60 + 0.5)
+    lng0 = ((i * 11) % 300 - 150 + 0.25)
+    lat1 = ((i * 13) % 120 - 60 + 0.5)
+    lng1 = ((i * 17) % 300 - 150 + 0.25)
+    dms = F.format_string(
+        "%d°%d'%d\"%s %d°%d'%d\"%s",
+        ((i * 3) % 89).cast("int"), ((i * 5) % 59).cast("int"),
+        ((i * 7) % 59).cast("int"),
+        F.when(i % 2 == 0, F.lit("N")).otherwise(F.lit("S")),
+        ((i * 11) % 179).cast("int"), ((i * 13) % 59).cast("int"),
+        ((i * 17) % 59).cast("int"),
+        F.when(i % 3 == 0, F.lit("E")).otherwise(F.lit("W")),
+    )
+    label = F.concat(F.lit("L"), i.cast("string"))
+    nodes = ids.select(
+        label.alias("node_id"), label.alias("label"),
+        F.when(arm == 0, lat0).alias("lat"),
+        F.when(arm == 0, lng0).alias("lng"),
+        F.when(
+            arm == 1,
+            F.concat(
+                label, F.lit(" town ("),
+                F.format_string("%.4f", lat1), F.lit(", "),
+                F.format_string("%.4f", lng1), F.lit(")"),
+            ),
+        ).otherwise(F.lit("")).alias("sentence"),
+        F.when(arm == 2, dms).otherwise(F.lit("")).alias("description"),
+        F.lit("").alias("address"),
+    )
+    gnodes = extract_geo_nodes(nodes).localCheckpoint(eager=True)
+    edges = ids.select(
+        label.alias("source"),
+        F.concat(F.lit("L"), ((i + 7) % 80).cast("string")).alias(
+            "target"
+        ),
+    )
+    gedges = edge_distances(gnodes, edges)
+
+    sent_d = F.lit(-424242.0)
+    node_rows = gnodes.select(
+        F.lit("node").alias("gkind"),
+        F.col("node_id").alias("name"),
+        F.col("location_type").alias("label"),
+        F.lit(-424242).cast("long").alias("size"),
+        F.round("latitude", 6).alias("lat"),
+        F.round("longitude", 6).alias("lng"),
+        sent_d.alias("km"),
+    )
+    edge_rows = gedges.select(
+        F.lit("edge").alias("gkind"),
+        F.col("source_id").alias("name"),
+        F.col("target_id").alias("label"),
+        F.lit(-424242).cast("long").alias("size"),
+        sent_d.alias("lat"), sent_d.alias("lng"),
+        F.round("distance_km", 3).alias("km"),
+    )
+    b = geo_bounds(gnodes)
+    bounds_rows = (
+        b.select(
+            F.lit("bounds").alias("gkind"), F.lit("min").alias("name"),
+            F.lit("<na>").alias("label"),
+            F.lit(-424242).cast("long").alias("size"),
+            F.round("min_lat", 6).alias("lat"),
+            F.round("min_lng", 6).alias("lng"), sent_d.alias("km"),
+        )
+        .unionByName(b.select(
+            F.lit("bounds").alias("gkind"), F.lit("max").alias("name"),
+            F.lit("<na>").alias("label"),
+            F.lit(-424242).cast("long").alias("size"),
+            F.round("max_lat", 6).alias("lat"),
+            F.round("max_lng", 6).alias("lng"), sent_d.alias("km"),
+        ))
+        .unionByName(b.select(
+            F.lit("bounds").alias("gkind"), F.lit("center").alias("name"),
+            F.lit("<na>").alias("label"),
+            F.lit(-424242).cast("long").alias("size"),
+            F.round("center_lat", 6).alias("lat"),
+            F.round("center_lng", 6).alias("lng"), sent_d.alias("km"),
+        ))
+    )
+    filt = filter_by_bounds(gnodes, gedges, -30, 30, -60, 60)
+    filt_row = (
+        filt["nodes"].agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_k", F.lit(1))
+        .join(filt["total"].withColumn("_k", F.lit(1)), "_k")
+        .select(
+            F.lit("filtered").alias("gkind"), F.lit("box").alias("name"),
+            F.lit("<na>").alias("label"),
+            F.col("n").cast("long").alias("size"),
+            sent_d.alias("lat"), sent_d.alias("lng"),
+            F.round("total_distance_km", 3).alias("km"),
+        )
+    )
+    return node_rows.unionByName(edge_rows).unionByName(
+        bounds_rows
+    ).unionByName(filt_row)
+
+
+ORACLE_EXT3["geo_analysis"] = """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 80),
+coords AS (
+  SELECT 'L' || i AS name,
+         CASE i % 4
+           WHEN 0 THEN (i * 7) % 120 - 60 + 0.5
+           WHEN 1 THEN (i * 13) % 120 - 60 + 0.5
+           WHEN 2 THEN ((i * 3) % 89 + ((i * 5) % 59) / 60.0
+                        + ((i * 7) % 59) / 3600.0)
+                       * (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+         END AS lat,
+         CASE i % 4
+           WHEN 0 THEN (i * 11) % 300 - 150 + 0.25
+           WHEN 1 THEN (i * 17) % 300 - 150 + 0.25
+           WHEN 2 THEN ((i * 11) % 179 + ((i * 13) % 59) / 60.0
+                        + ((i * 17) % 59) / 3600.0)
+                       * (CASE WHEN i % 3 = 0 THEN 1 ELSE -1 END)
+         END AS lng,
+         CASE i % 4 WHEN 0 THEN 'exact' ELSE 'parsed' END AS ltype,
+         i
+  FROM ids WHERE i % 4 <> 3
+),
+node_rows AS (
+  SELECT 'node' AS gkind, name, ltype AS label,
+         -424242::BIGINT AS size, round(lat, 6)::DOUBLE AS lat,
+         round(lng, 6)::DOUBLE AS lng, -424242.0::DOUBLE AS km
+  FROM coords
+),
+e0 AS (
+  SELECT 'L' || i AS s, 'L' || ((i + 7) % 80) AS t FROM ids
+),
+ed AS (
+  SELECT e0.s, e0.t, a.lat AS lat1, a.lng AS lng1,
+         b.lat AS lat2, b.lng AS lng2
+  FROM e0 JOIN coords a ON a.name = e0.s
+  JOIN coords b ON b.name = e0.t
+),
+dist AS (
+  SELECT s, t,
+         2 * 6371.0 * atan2(
+           sqrt(pow(sin(radians(lat2 - lat1) / 2), 2)
+                + cos(radians(lat1)) * cos(radians(lat2))
+                  * pow(sin(radians(lng2 - lng1) / 2), 2)),
+           sqrt(1 - (pow(sin(radians(lat2 - lat1) / 2), 2)
+                     + cos(radians(lat1)) * cos(radians(lat2))
+                       * pow(sin(radians(lng2 - lng1) / 2), 2)))
+         ) AS km,
+         lat1, lng1, lat2, lng2
+  FROM ed
+),
+edge_rows AS (
+  SELECT 'edge' AS gkind, s AS name, t AS label,
+         -424242::BIGINT AS size, -424242.0::DOUBLE AS lat,
+         -424242.0::DOUBLE AS lng, round(km, 3)::DOUBLE AS km
+  FROM dist
+),
+bounds_rows AS (
+  SELECT 'bounds' AS gkind, 'min' AS name, '<na>' AS label,
+         -424242::BIGINT AS size, round(min(lat), 6)::DOUBLE AS lat,
+         round(min(lng), 6)::DOUBLE AS lng, -424242.0::DOUBLE AS km
+  FROM coords
+  UNION ALL
+  SELECT 'bounds', 'max', '<na>', -424242::BIGINT,
+         round(max(lat), 6)::DOUBLE, round(max(lng), 6)::DOUBLE,
+         -424242.0::DOUBLE
+  FROM coords
+  UNION ALL
+  SELECT 'bounds', 'center', '<na>', -424242::BIGINT,
+         round((min(lat) + max(lat)) / 2, 6)::DOUBLE,
+         round((min(lng) + max(lng)) / 2, 6)::DOUBLE,
+         -424242.0::DOUBLE
+  FROM coords
+),
+inbox AS (
+  SELECT name FROM coords
+  WHERE lat BETWEEN -30 AND 30 AND lng BETWEEN -60 AND 60
+),
+filt_row AS (
+  SELECT 'filtered' AS gkind, 'box' AS name, '<na>' AS label,
+         (SELECT count(*) FROM inbox)::BIGINT AS size,
+         -424242.0::DOUBLE AS lat, -424242.0::DOUBLE AS lng,
+         round(coalesce((
+           SELECT sum(km) FROM dist
+           WHERE s IN (SELECT name FROM inbox)
+             AND t IN (SELECT name FROM inbox)), 0), 3)::DOUBLE AS km
+)
+SELECT * FROM node_rows UNION ALL SELECT * FROM edge_rows
+UNION ALL SELECT * FROM bounds_rows UNION ALL SELECT * FROM filt_row
+"""
