@@ -48,11 +48,67 @@ def zscore_anomalies(
         .where(F.col("z_score") > threshold)
         .withColumn("confidence", F.least(F.lit(1.0), F.col("z_score") / 5.0))
         .withColumn(
+            # _calculate_severity (detector.py:397-406): >= 2t critical,
+            # >= 1.5t high, >= t medium, else low — emitted rows satisfy
+            # z > t so the low branch never fires here, kept for parity
             "severity",
-            F.when(F.col("z_score") > 2 * threshold, "high")
-            .when(F.col("z_score") > 1.5 * threshold, "medium")
+            F.when(F.col("z_score") >= 2 * threshold, "critical")
+            .when(F.col("z_score") >= 1.5 * threshold, "high")
+            .when(F.col("z_score") >= threshold, "medium")
             .otherwise("low"),
         )
+    )
+
+
+def text_stat_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """_calculate_text_stats (detector.py:384-395) as native columns:
+    word_count (whitespace-run split, Python str.split semantics),
+    sentence_count (period split, empties INCLUDED — len(text.split('.'))
+    counts dots + 1), avg_word_length, avg_sentence_length
+    (words/sentences), char_count."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    word_count = F.size(words).cast("double")
+    sentence_count = F.size(F.split(F.col(text_col), r"\.", -1)).cast(
+        "double"
+    )
+    total_word_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    return docs.select(
+        F.col(id_col),
+        word_count.alias("word_count"),
+        sentence_count.alias("sentence_count"),
+        F.when(word_count > 0, total_word_len / word_count)
+        .otherwise(F.lit(0.0)).alias("avg_word_length"),
+        (word_count / sentence_count).alias("avg_sentence_length"),
+        F.length(F.col(text_col)).cast("double").alias("char_count"),
+    )
+
+
+TEXT_STAT_METRICS = [
+    "word_count", "sentence_count", "avg_word_length",
+    "avg_sentence_length", "char_count",
+]
+
+
+def statistical_anomalies(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """detect_statistical_anomalies (detector.py:139-209) corpus-wide:
+    the reference's exact five text stats z-scored against the corpus,
+    severity per _calculate_severity."""
+    return zscore_anomalies(
+        text_stat_metrics(docs, id_col, text_col),
+        TEXT_STAT_METRICS,
+        id_col=id_col,
+        threshold=threshold,
     )
 
 

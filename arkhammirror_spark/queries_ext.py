@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .operators.anomalies import zscore_anomalies
+
 from .operators.dedup import ngram_jaccard_pairs, verified_neardup_pairs
 from .operators.timeline import extract_timeline_events
 from .queries import _cased_spark, _cased_sql, _load
@@ -303,24 +303,58 @@ FROM bits GROUP BY 1
 
 
 def q_zscore_len_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_statistical_anomalies over the reference's exact five text
+    stats (detector.py:139-209, 384-395) with the _calculate_severity
+    ladder (:397-406) — threshold 1.5 so fixture-scale corpora flag."""
+    from .operators.anomalies import statistical_anomalies
+
     docs = _load(spark, sf_dir, "documents")
-    out = zscore_anomalies(docs, ["n_chars"], threshold=1.5)
+    out = statistical_anomalies(docs, threshold=1.5)
     return out.select(
         "doc_id", "metric", F.round("z_score", 4).alias("z_score"), "severity"
     )
 
 
 _ZSCORE_SQL = """
-WITH stats AS (
-  SELECT avg(n_chars::DOUBLE) AS m, stddev_samp(n_chars::DOUBLE) AS s FROM documents
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         w -> len(w) > 0))::DOUBLE AS word_count,
+         len(string_split(text, '.'))::DOUBLE AS sentence_count,
+         length(text)::DOUBLE AS char_count,
+         list_aggregate(
+           list_transform(
+             list_filter(string_split_regex(text, '\\s+'),
+                         w -> len(w) > 0),
+             w -> len(w)), 'sum')::DOUBLE AS total_wlen
+  FROM documents
+),
+stacked AS (
+  SELECT doc_id, 'word_count' AS metric, word_count AS value FROM m
+  UNION ALL
+  SELECT doc_id, 'sentence_count', sentence_count FROM m
+  UNION ALL
+  SELECT doc_id, 'avg_word_length',
+         CASE WHEN word_count > 0 THEN total_wlen / word_count
+              ELSE 0.0 END FROM m
+  UNION ALL
+  SELECT doc_id, 'avg_sentence_length',
+         word_count / sentence_count FROM m
+  UNION ALL
+  SELECT doc_id, 'char_count', char_count FROM m
+),
+stats AS (
+  SELECT metric, avg(value) AS mu, stddev_samp(value) AS s
+  FROM stacked GROUP BY 1
 )
-SELECT doc_id, 'n_chars' AS metric,
-       round(abs((n_chars::DOUBLE - m) / s), 4) AS z_score,
-       CASE WHEN abs((n_chars::DOUBLE - m) / s) > 4.0 THEN 'high'
-            WHEN abs((n_chars::DOUBLE - m) / s) > 3.0 THEN 'medium'
+SELECT doc_id, metric,
+       round(abs((value - mu) / s), 4) AS z_score,
+       CASE WHEN abs((value - mu) / s) >= 3.0 THEN 'critical'
+            WHEN abs((value - mu) / s) >= 2.25 THEN 'high'
+            WHEN abs((value - mu) / s) >= 1.5 THEN 'medium'
             ELSE 'low' END AS severity
-FROM documents, stats
-WHERE s > 0 AND abs((n_chars::DOUBLE - m) / s) > 1.5
+FROM stacked JOIN stats USING (metric)
+WHERE s > 0 AND abs((value - mu) / s) > 1.5
 """
 
 _TL_PHRASES = [

@@ -60,6 +60,8 @@ _ARROW_BOUNDS = {
     "c2pa_scan": (1, 1),          # the stdlib JUMBF sniff pass
     # lazy-checkpointed slim occurrence frame, same truncation
     "entity_correlations": (0, 4),
+    # one Arrow pass: the entropy/LSB/magic scan (hashes stay native)
+    "hidden_content": (1, 1),
 }
 
 
