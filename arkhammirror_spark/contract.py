@@ -74,7 +74,8 @@ MERGES: dict[str, tuple[list, list]] = {
     ),
     "anomalies": (
         [("id", _B), ("metric", _S), ("z_score", _D), ("severity", _S),
-         ("dist", _D), ("confidence", _D), ("entropy_global", _D),
+         ("dist", _D), ("confidence", _D), ("mean_dist", _D),
+         ("std_dist", _D), ("entropy_global", _D),
          ("n_high_regions", _B), ("max_region_entropy", _D),
          ("magic_expected", _S), ("magic_actual", _S),
          ("file_mismatch", _BO), ("findings", _S), ("scan_status", _S)],
@@ -84,6 +85,10 @@ MERGES: dict[str, tuple[list, list]] = {
          ("embedding", "embedding_anomaly",
           {"id": "vec_id", "z_score": "z_score", "dist": "dist",
            "confidence": "confidence"}),
+         ("content", "content_anomaly",
+          {"id": "vec_id", "z_score": "z_score", "severity": "severity",
+           "dist": "min_dist", "confidence": "confidence",
+           "mean_dist": "mean_dist", "std_dist": "std_dist"}),
          ("hidden", "hidden_content",
           {"id": "doc_id", "confidence": "stego_confidence",
            "entropy_global": "entropy_global",
@@ -202,9 +207,14 @@ MERGES: dict[str, tuple[list, list]] = {
     "content_scans": (
         [("doc_id", _B), ("n_flags", _B), ("flagged", _BO), ("n_email", _B),
          ("n_phone", _B), ("n_ssn", _B), ("n_ipv4", _B),
-         ("n_card_valid", _B), ("has_pii", _BO)],
+         ("n_card_valid", _B), ("has_pii", _BO), ("pattern_type", _S),
+         ("rf_score", _D), ("rf_severity", _S), ("rf_confidence", _D)],
         [("red_flags", "red_flag_scan",
           {"doc_id": "doc_id", "n_flags": "n_flags", "flagged": "flagged"}),
+         ("rf_ref", "red_flags_ref",
+          {"doc_id": "doc_id", "pattern_type": "pattern_type",
+           "rf_score": "score", "rf_severity": "severity",
+           "rf_confidence": "confidence"}),
          ("pii", "pii_scan",
           {"doc_id": "doc_id", "n_email": "n_email", "n_phone": "n_phone",
            "n_ssn": "n_ssn", "n_ipv4": "n_ipv4",

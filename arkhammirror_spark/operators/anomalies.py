@@ -112,6 +112,130 @@ def statistical_anomalies(
     )
 
 
+def content_anomalies(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 3.0,
+    min_cluster_distance: float = 0.7,
+) -> DataFrame:
+    """A1 detect_content_anomalies, reference-FAITHFUL port
+    (detector.py:64-137): for each document, cosine distances to every
+    OTHER document; flag when z = (min−mean)/std exceeds the threshold
+    (with min ≤ mean this arm is structurally ≤ 0 — the reference's own
+    quirk) OR the nearest neighbor is farther than
+    ``min_cluster_distance``. Severity from z per _calculate_severity,
+    std is POPULATION std (np.std default).
+
+    The reference is O(n²) per corpus. Here the per-doc mean and std
+    come from MOMENT ALGEBRA with no pair materialized: with unit
+    vectors d̂, S = Σô and the D×D Gram matrix G = Σôôᵀ (one pass
+    each, D²-bounded state),
+        mean_cos(d) = (d̂·S − 1)/(n−1),
+        E[cos²](d) = (d̂ᵀGd̂ − 1)/(n−1),  Var = E[cos²] − mean²
+    — the −1 terms remove self. Only the MIN distance (max cosine) is a
+    true neighbor query; it reuses the brute top-1 here and the
+    similarity module's LSH/IVF lanes at scale."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    u = v.select(
+        "_id",
+        F.transform(F.col("v"), lambda x: x / norm).alias("u"),
+    ).localCheckpoint(eager=True)
+    n = u.count()
+    if n < 2:
+        raise ValueError("content_anomalies needs at least 2 vectors")
+
+    comp = u.select("_id", F.posexplode("u").alias("i", "x"))
+    s_vec = comp.groupBy("i").agg(F.sum("x").alias("s"))
+    gram = (
+        comp.alias("a")
+        .join(comp.alias("b"), F.col("a._id") == F.col("b._id"))
+        .groupBy(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("g"))
+    )
+    # Gd = G·d̂ per doc: one join on component index, then d̂·Gd
+    gd = (
+        comp.join(gram, comp["i"] == gram["j"])
+        .groupBy("_id", gram["i"])
+        .agg(F.sum(F.col("x") * F.col("g")).alias("gd"))
+    )
+    quad = (
+        gd.join(
+            comp.withColumnRenamed("x", "xi"),
+            ["_id", "i"],
+        )
+        .groupBy("_id")
+        .agg(F.sum(F.col("gd") * F.col("xi")).alias("dGd"))
+    )
+    ds = (
+        comp.join(s_vec, "i")
+        .groupBy("_id")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("dS"))
+    )
+    # exact nearest neighbor (max cosine over others) — brute top-1;
+    # swap in lsh/ivf topk at corpus scale
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.u"), F.col("b.u"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_cos = (
+        u.alias("a")
+        .join(u.alias("b"), F.col("a._id") != F.col("b._id"))
+        .groupBy(F.col("a._id").alias("_id"))
+        .agg(F.max(dot).alias("max_cos"))
+    )
+    nn = F.lit(n - 1).cast("double")
+    mean_cos = (F.col("dS") - 1) / nn
+    e_cos2 = (F.col("dGd") - 1) / nn
+    var = e_cos2 - mean_cos * mean_cos
+    stats = (
+        ds.join(quad, "_id")
+        .join(max_cos, "_id")
+        .select(
+            "_id",
+            (1 - F.col("max_cos")).alias("min_dist"),
+            (1 - mean_cos).alias("mean_dist"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_dist"),
+        )
+    )
+    z = F.when(
+        F.col("std_dist") > 0,
+        (F.col("min_dist") - F.col("mean_dist")) / F.col("std_dist"),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.withColumn("z_score", z)
+        .where(
+            (F.col("z_score") > threshold)
+            | (F.col("min_dist") > min_cluster_distance)
+        )
+        .withColumn(
+            "severity",
+            F.when(F.col("z_score") >= 2 * threshold, "critical")
+            .when(F.col("z_score") >= 1.5 * threshold, "high")
+            .when(F.col("z_score") >= threshold, "medium")
+            .otherwise("low"),
+        )
+        .withColumn(
+            "confidence", F.least(F.lit(1.0), F.col("z_score") / 5.0)
+        )
+        .select(
+            F.col("_id").alias(id_col), "min_dist", "mean_dist",
+            "std_dist", "z_score", "severity", "confidence",
+        )
+    )
+
+
 def embedding_anomalies(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -151,4 +275,75 @@ def embedding_anomalies(
         .where(F.col("z_score") > threshold)
         .withColumn("confidence", F.least(F.lit(1.0), F.col("z_score") / 5.0))
         .select(id_col, "dist", "z_score", "confidence")
+    )
+
+
+# A4 detect_red_flags (detector.py:45-62, 211-319): the exact compiled
+# patterns, thresholds, severities, and confidences
+RED_FLAG_MONEY = (
+    r"\$\s*\d+(?:,\d{3})*(?:\.\d{2})?|"
+    r"\d+(?:,\d{3})*(?:\.\d{2})?\s*(?:USD|EUR|GBP|dollars?|euros?|pounds?)"
+)
+RED_FLAG_DATE = (
+    r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b|"
+    r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*"
+    r"\s+\d{1,2},?\s+\d{4}\b"
+)
+RED_FLAG_NAME = r"\b[A-Z][a-z]+\s+[A-Z][a-z]+\b"
+SENSITIVE_KEYWORDS = [
+    "confidential", "secret", "classified", "private", "restricted",
+    "internal only", "do not distribute", "proprietary", "privileged",
+]
+
+
+def red_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """detect_red_flags (:211-319) corpus-wide, fully native: one row
+    per FIRED arm per document — money count > 10 (high, 0.9), date
+    count > 15 (medium, 0.8), UNIQUE capitalized-name pairs > 20
+    (medium, 0.7), any sensitive keyword (critical, 1.0, score = number
+    of distinct keywords present). The reference regex-scans one
+    document per call; these are four regexp_extract_all columns in one
+    Catalyst pass."""
+    t = F.col(text_col)
+    money = F.size(
+        F.regexp_extract_all(t, F.lit("(?i)" + RED_FLAG_MONEY), F.lit(0))
+    )
+    dates = F.size(
+        F.regexp_extract_all(t, F.lit("(?i)" + RED_FLAG_DATE), F.lit(0))
+    )
+    names = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(t, F.lit(RED_FLAG_NAME), F.lit(0))
+        )
+    )
+    low = F.lower(t)
+    kw = F.size(
+        F.filter(
+            F.array(*[F.lit(k) for k in SENSITIVE_KEYWORDS]),
+            lambda k: low.contains(k),
+        )
+    )
+    base = docs.select(F.col(id_col), money.alias("money"),
+                       dates.alias("dates"), names.alias("names"),
+                       kw.alias("kw"))
+
+    def arm(cnt, gate, ptype, severity, conf):
+        return base.where(gate).select(
+            F.col(id_col),
+            F.lit(ptype).alias("pattern_type"),
+            cnt.cast("double").alias("score"),
+            F.lit(severity).alias("severity"),
+            F.lit(conf).alias("confidence"),
+        )
+
+    return (
+        arm(F.col("money"), F.col("money") > 10, "money", "high", 0.9)
+        .unionByName(arm(F.col("dates"), F.col("dates") > 15, "dates",
+                         "medium", 0.8))
+        .unionByName(arm(F.col("names"), F.col("names") > 20, "names",
+                         "medium", 0.7))
+        .unionByName(arm(F.col("kw"), F.col("kw") > 0,
+                         "sensitive_keywords", "critical", 1.0))
     )

@@ -2679,3 +2679,183 @@ def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXT2["ann_ivf_filtered"] = "SELECT 5::BIGINT AS k, true AS recall_ok"
+
+
+@register("content_anomaly", None)  # oracle below
+def q_content_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 detect_content_anomalies, reference-faithful (detector.py:
+    64-137) over the clone corpus plus five ISOLATED sign-flipped
+    vectors: every clone-decad member has a near-duplicate (min_dist ≈
+    0 → unflagged), the isolated rows' nearest neighbor is a random
+    direction (min_dist well above the 0.5 gate threshold — the
+    reference's configurable min_cluster_distance arm; the z arm is
+    structurally ≤ 0, the reference's own quirk). The oracle recomputes
+    the per-doc distance moments by brute-force pairs; the operator
+    never materializes a pair for mean/std (Gram closed form)."""
+    from .operators.anomalies import content_anomalies
+
+    d = _derived_emb(spark, sf_dir).where(F.col("vec_id") < 200)
+    iso = (
+        _load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isin([1, 13, 27, 41, 55]))
+        .select(
+            (F.col("vec_id") + 9000).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, j: x * F.when(j % 2 == 0, 1.0).otherwise(-1.0),
+            ).alias("embedding"),
+        )
+    )
+    emb = d.unionByName(iso)
+    out = content_anomalies(emb, min_cluster_distance=0.5)
+    return out.select(
+        "vec_id",
+        F.round("min_dist", 6).alias("min_dist"),
+        F.round("mean_dist", 6).alias("mean_dist"),
+        F.round("std_dist", 6).alias("std_dist"),
+        F.round("z_score", 4).alias("z_score"),
+        "severity",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+ORACLE_EXT2["content_anomaly"] = f"""
+WITH derived AS ({_DERIVED_EMB_SQL}),
+base AS (
+  SELECT vec_id, v FROM derived WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 9000,
+         list_transform(generate_series(1, 64),
+           j -> embedding[j]::DOUBLE
+                * (CASE WHEN (j - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END))
+  FROM embeddings WHERE vec_id IN (1, 13, 27, 41, 55)
+),
+cosines AS (
+  SELECT a.vec_id AS id, {_sql_cos('a.v', 'b.v')} AS c
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+),
+moments AS (
+  SELECT id,
+         1 - max(c) AS min_dist,
+         1 - avg(c) AS mean_dist,
+         stddev_pop(c) AS std_dist
+  FROM cosines GROUP BY 1
+),
+z AS (
+  SELECT id, min_dist, mean_dist, std_dist,
+         CASE WHEN std_dist > 0
+              THEN (min_dist - mean_dist) / std_dist
+              ELSE 0.0 END AS z_score
+  FROM moments
+)
+SELECT id AS vec_id,
+       round(min_dist, 6)::DOUBLE AS min_dist,
+       round(mean_dist, 6)::DOUBLE AS mean_dist,
+       round(std_dist, 6)::DOUBLE AS std_dist,
+       round(z_score, 4)::DOUBLE AS z_score,
+       CASE WHEN z_score >= 6.0 THEN 'critical'
+            WHEN z_score >= 4.5 THEN 'high'
+            WHEN z_score >= 3.0 THEN 'medium'
+            ELSE 'low' END AS severity,
+       round(least(1.0, z_score / 5.0), 6)::DOUBLE AS confidence
+FROM z
+WHERE z_score > 3.0 OR min_dist > 0.5
+"""
+
+
+@register("red_flags_ref", None)  # oracle below
+def q_red_flags_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 detect_red_flags, reference-faithful arms (detector.py:45-62,
+    211-319) over injected fixture content: doc_id%5 picks the planted
+    arm (12 money refs / 16 dates / 25 unique names / 2 sensitive
+    keywords / nothing); the soup base text is lowercase and digit-free
+    so the planted counts are exact, but both engines regex the full
+    text anyway."""
+    from .operators.anomalies import red_flags
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    firsts = F.array(*[F.lit(x) for x in
+                       ["Alice", "Brian", "Carol", "David", "Emma"]])
+    lasts = F.array(*[F.lit(x) for x in
+                      ["Moore", "Neal", "Owens", "Price", "Quinn"]])
+    names = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda k: F.concat(
+                F.lit(" "),
+                F.element_at(firsts, (k % 5 + 1).cast("int")),
+                F.lit(" "),
+                F.element_at(lasts, (F.floor(k / 5) + 1).cast("int")),
+            ),
+        ),
+        "",
+    )
+    suffix = (
+        F.when(i % 5 == 1, F.repeat(F.lit(" $1,234.56"), 12))
+        .when(i % 5 == 2, F.repeat(F.lit(" 12/31/2024"), 16))
+        .when(i % 5 == 3, names)
+        .when(i % 5 == 4, F.lit(" confidential proprietary"))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.where(i < 200).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return red_flags(injected).select(
+        "doc_id", "pattern_type",
+        F.round("score", 4).alias("score"),
+        "severity",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+ORACLE_EXT2["red_flags_ref"] = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE doc_id % 5
+           WHEN 1 THEN repeat(' $1,234.56', 12)
+           WHEN 2 THEN repeat(' 12/31/2024', 16)
+           WHEN 3 THEN array_to_string(list_transform(
+             generate_series(0, 24),
+             k -> ' ' || ['Alice','Brian','Carol','David','Emma']
+                         [(k % 5 + 1)::INT]
+                  || ' ' || ['Moore','Neal','Owens','Price','Quinn']
+                            [(k // 5 + 1)::INT]), '')
+           WHEN 4 THEN ' confidential proprietary'
+           ELSE '' END AS suffix
+  FROM documents WHERE doc_id < 200
+),
+t AS (SELECT doc_id, text || suffix AS text FROM base),
+counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+           '\$\s*\d+(?:,\d{3})*(?:\.\d{2})?|\d+(?:,\d{3})*(?:\.\d{2})?\s*(?:USD|EUR|GBP|dollars?|euros?|pounds?)',
+           0, 'i')) AS money,
+         len(regexp_extract_all(text,
+           '\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b|\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{1,2},?\s+\d{4}\b',
+           0, 'i')) AS dates,
+         len(list_distinct(regexp_extract_all(text,
+           '\b[A-Z][a-z]+\s+[A-Z][a-z]+\b', 0))) AS names,
+         len(list_filter(
+           ['confidential','secret','classified','private','restricted',
+            'internal only','do not distribute','proprietary',
+            'privileged'],
+           k -> contains(lower(text), k))) AS kw
+  FROM t
+)
+SELECT doc_id, 'money' AS pattern_type,
+       round(money::DOUBLE, 4) AS score, 'high' AS severity,
+       0.9::DOUBLE AS confidence
+FROM counts WHERE money > 10
+UNION ALL
+SELECT doc_id, 'dates', round(dates::DOUBLE, 4), 'medium', 0.8::DOUBLE
+FROM counts WHERE dates > 15
+UNION ALL
+SELECT doc_id, 'names', round(names::DOUBLE, 4), 'medium', 0.7::DOUBLE
+FROM counts WHERE names > 20
+UNION ALL
+SELECT doc_id, 'sensitive_keywords', round(kw::DOUBLE, 4), 'critical',
+       1.0::DOUBLE
+FROM counts WHERE kw > 0
+"""

@@ -208,3 +208,103 @@ def test_metadata_anomalies_parity(ref, spark):
     assert got[30]["z_score"] == pytest.approx(a.score, rel=1e-12)
     assert got[30]["severity"] == a.severity.value
     assert got[30]["confidence"] == pytest.approx(a.confidence)
+
+
+def test_content_anomalies_parity(ref, spark):
+    """detect_content_anomalies (:64-137) per doc (corpus = the OTHER
+    docs) vs the moment-algebra closed form + exact top-1: flags,
+    min/mean/std distances, z, severity, confidence all match."""
+    import numpy as np
+
+    from arkhammirror_spark.operators.anomalies import content_anomalies
+
+    models, det_mod = ref
+    det = det_mod.AnomalyDetector()
+    rng = np.random.RandomState(13)
+    base = rng.randn(8)
+    vecs = []
+    for i in range(26):
+        if i < 22:  # one loose cluster
+            vecs.append(base + 0.25 * rng.randn(8))
+        else:  # four genuinely distant directions
+            w = rng.randn(8)
+            w -= w.dot(base) / base.dot(base) * base
+            vecs.append(w * 3 + 0.05 * rng.randn(8))
+    vecs = [v.astype(float) for v in vecs]
+
+    exp = {}
+    exp_details = {}
+    for i, v in enumerate(vecs):
+        others = [vecs[j] for j in range(len(vecs)) if j != i]
+        out = det.detect_content_anomalies(str(i), v, others, [])
+        for a in out:
+            exp[i] = a
+            exp_details[i] = a.details
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in content_anomalies(emb).collect()}
+    assert set(got) == set(exp)
+    assert len(got) >= 3  # the distant directions actually flag
+    for i, a in exp.items():
+        r = got[i]
+        d = exp_details[i]
+        assert r["min_dist"] == pytest.approx(d["min_distance"], rel=1e-9)
+        assert r["mean_dist"] == pytest.approx(
+            d["mean_distance"], rel=1e-9
+        )
+        assert r["std_dist"] == pytest.approx(d["std_distance"], rel=1e-9)
+        assert r["z_score"] == pytest.approx(a.score, rel=1e-9, abs=1e-12)
+        assert r["severity"] == a.severity.value
+        assert r["confidence"] == pytest.approx(a.confidence, rel=1e-9)
+
+
+def test_red_flags_parity(ref, spark):
+    """detect_red_flags (:211-319): every arm (money/dates/names/
+    keywords), thresholds inclusive-exclusive boundaries, severities and
+    confidences, vs the native four-regex pass."""
+    from arkhammirror_spark.operators.anomalies import red_flags
+
+    models, det_mod = ref
+    det = det_mod.AnomalyDetector()
+    names25 = " ".join(
+        f"{f} {l}"
+        for f in ["Alice", "Brian", "Carol", "David", "Emma"]
+        for l in ["Moore", "Neal", "Owens", "Price", "Quinn"]
+    )
+    texts = [
+        "plain text nothing here",
+        " $1,234.56" * 11,                       # money > 10 fires
+        " $9.99" * 10,                           # money == 10: no fire
+        " 12/31/2024" * 16,                      # dates > 15 fires
+        " Jan 5, 2024" * 16,                     # month-name date form
+        " 1/2/99" * 15,                          # dates == 15: no fire
+        names25,                                 # 25 unique names fires
+        " Bob Smith" * 30,                       # 1 unique: no fire
+        "this is Confidential and PROPRIETARY",  # case-insensitive kws
+        "internal only - do not distribute",     # multi-word keywords
+    ]
+    exp = {}
+    for i, t in enumerate(texts):
+        for a in det.detect_red_flags(str(i), t, {}):
+            exp[(i, a.details["pattern_type"])] = a
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pattern_type"]): r
+        for r in red_flags(docs).collect()
+    }
+    assert set(got) == set(exp)
+    assert {(1, "money"), (3, "dates"), (4, "dates"), (6, "names"),
+            (8, "sensitive_keywords"),
+            (9, "sensitive_keywords")} <= set(got)
+    assert (2, "money") not in got and (5, "dates") not in got
+    assert (7, "names") not in got
+    for k, a in exp.items():
+        r = got[k]
+        assert r["score"] == a.score, k
+        assert r["severity"] == a.severity.value, k
+        assert r["confidence"] == pytest.approx(a.confidence), k
