@@ -5,6 +5,7 @@ metadata / severity paths under test never call it)."""
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import math
 import os
@@ -28,8 +29,6 @@ def ref():
         return (m["arkham_shard_anomalies.models"],
                 m["arkham_shard_anomalies.detector"])
     if "scipy" not in sys.modules:
-        import importlib.machinery
-
         scipy = types.ModuleType("scipy")
         stats = types.ModuleType("scipy.stats")
         scipy.__spec__ = importlib.machinery.ModuleSpec("scipy", None)
