@@ -170,12 +170,21 @@ MERGES: dict[str, tuple[list, list]] = {
            "edges_removed": "edges_removed"})],
     ),
     "ann_topk": (
-        [("vec_id", _B), ("score", _D), ("k", _B), ("recall_ok", _BO)],
+        [("vec_id", _B), ("score", _D), ("k", _B), ("recall_ok", _BO),
+         ("coll", _S), ("opt_lists", _B), ("opt_probes", _B),
+         ("subopt", _BO), ("days_since", _B), ("overdue", _BO),
+         ("warn", _S)],
         [("brute", "embedding_knn", {"vec_id": "vec_id", "score": "cosine"}),
          ("lsh", "ann_lsh_topk", {"vec_id": "vec_id", "score": "score"}),
          ("ivf", "ann_ivf_topk", {"k": "k", "recall_ok": "recall_ok"}),
          ("fivf", "ann_ivf_filtered",
-          {"k": "k", "recall_ok": "recall_ok"})],
+          {"k": "k", "recall_ok": "recall_ok"}),
+         ("tuning", "ivf_tuning",
+          {"coll": "name", "k": "vector_count",
+           "opt_lists": "optimal_lists", "opt_probes": "optimal_probes",
+           "subopt": "lists_suboptimal",
+           "days_since": "days_since_reindex",
+           "overdue": "reindex_overdue", "warn": "warnings"})],
     ),
     "container_extracts": (
         [("url", _S), ("lang", _S), ("member_name", _S), ("ts", _S),

@@ -329,3 +329,101 @@ def ivf_topk(
     query (see fit_ivf docstring)."""
     centers, assigned = fit_ivf(emb, id_col, vec_col, n_clusters, seed)
     return ivf_probe(assigned, centers, query_vec, k, id_col, n_probe)
+
+
+# --- IVF tuning + health (the maintenance math around the index) --------
+
+
+def optimal_lists(expected_rows: int) -> int:
+    """IVFFlat lists sizing (vectors.py:469-476 — also
+    vector_maintenance.py:520-528, same formula): <1000 rows → 10,
+    <1M → rows/1000 (min 10), else √rows (min 100)."""
+    if expected_rows < 1000:
+        return 10
+    if expected_rows < 1_000_000:
+        return max(10, expected_rows // 1000)
+    return max(100, int(expected_rows ** 0.5))
+
+
+def optimal_probes(lists: int, target_recall: float = 0.95) -> int:
+    """Probe sizing for a recall target (vectors.py:478-488; default
+    0.95 per the service's _target_recall)."""
+    if target_recall >= 0.99:
+        return max(lists // 2, int(lists ** 0.5) * 3)
+    if target_recall >= 0.95:
+        return max(10, int(lists ** 0.5))
+    return max(5, lists // 10)
+
+
+def ivf_health_check(
+    collections: DataFrame,
+    reference_date,
+    target_recall: float = 0.95,
+    name_col: str = "name",
+    count_col: str = "vector_count",
+    lists_col: str = "lists",
+    reindex_col: str = "last_reindex",
+) -> DataFrame:
+    """The health_check rules (vector_maintenance.py:441-518) as native
+    columns over a collections catalog: suggested lists/probes, the
+    >50%-deviation suboptimal warning (only when vectors exist and a
+    lists value is set), and the 14-day reindex-overdue warning —
+    warning STRINGS formatted exactly like the reference so a catalog
+    sweep emits the same ledger. ``reference_date`` pins the clock
+    (the reference uses utcnow(), which a deterministic engine cannot)."""
+    vc = F.col(count_col).cast("long")
+    cur = F.col(lists_col).cast("long")
+    opt = (
+        F.when(vc < 1000, F.lit(10))
+        .when(vc < 1_000_000, F.greatest(F.lit(10), F.floor(vc / 1000)))
+        .otherwise(F.greatest(F.lit(100), F.floor(F.sqrt(vc))))
+        .cast("long")
+    )
+    if target_recall >= 0.99:
+        probes = F.greatest(
+            F.floor(opt / 2), F.floor(F.sqrt(opt)) * 3
+        )
+    elif target_recall >= 0.95:
+        probes = F.greatest(F.lit(10), F.floor(F.sqrt(opt)))
+    else:
+        probes = F.greatest(F.lit(5), F.floor(opt / 10))
+    subopt = (
+        (vc > 0) & (cur > 0)
+        & (F.abs(cur - opt) / opt > 0.5)
+    )
+    ref_d = F.lit(str(reference_date)).cast("date")
+    days_since = F.datediff(ref_d, F.to_date(F.col(reindex_col)))
+    overdue = (vc > 0) & F.col(reindex_col).isNotNull() & (
+        days_since > 14
+    )
+    warn = F.concat_ws(
+        "|",
+        F.when(
+            subopt,
+            F.format_string(
+                "%s: lists=%d may be suboptimal (suggested ~%d for %d "
+                "vectors)",
+                F.col(name_col), cur, opt, vc,
+            ),
+        ),
+        F.when(
+            overdue,
+            F.format_string(
+                "%s: last reindex was %d days ago",
+                F.col(name_col), days_since.cast("long"),
+            ),
+        ),
+    )
+    return collections.select(
+        F.col(name_col).alias("name"),
+        vc.alias("vector_count"),
+        cur.alias("current_lists"),
+        opt.alias("optimal_lists"),
+        probes.cast("long").alias("optimal_probes"),
+        subopt.alias("lists_suboptimal"),
+        F.coalesce(days_since, F.lit(-1)).cast("long").alias(
+            "days_since_reindex"
+        ),
+        overdue.alias("reindex_overdue"),
+        warn.alias("warnings"),
+    )

@@ -2859,3 +2859,88 @@ SELECT doc_id, 'sensitive_keywords', round(kw::DOUBLE, 4), 'critical',
        1.0::DOUBLE
 FROM counts WHERE kw > 0
 """
+
+
+@register("ivf_tuning", None)  # oracle below
+def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance math (vectors.py:469-488 + vector_maintenance.py:
+    441-528) over a catalog fixture spanning all three lists regimes
+    (<1000 / <1M / ≥1M vectors), unset-lists and empty collections, and
+    reindex ages straddling the 14-day gate (clock pinned 2026-06-15)."""
+    from .operators.similarity import ivf_health_check
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 50
+    )
+    i = F.col("doc_id")
+    vc = (
+        F.element_at(
+            F.array(F.lit(0), F.lit(500), F.lit(40000), F.lit(2500000)),
+            (i % 4 + 1).cast("int"),
+        ) + i * 137
+    )
+    cur = (
+        F.element_at(
+            F.array(F.lit(0), F.lit(10), F.lit(700), F.lit(2100)),
+            (i % 4 + 1).cast("int"),
+        ) + (i % 3) * 13
+    )
+    last = F.when(
+        i % 6 != 5,
+        F.date_sub(F.lit("2026-06-15").cast("date"),
+                   ((i * 5) % 35).cast("int")),
+    )
+    cat = ids.select(
+        F.concat(F.lit("c"), F.lpad(i.cast("string"), 2, "0")).alias(
+            "name"
+        ),
+        vc.cast("long").alias("vector_count"),
+        cur.cast("long").alias("lists"),
+        last.alias("last_reindex"),
+    )
+    return ivf_health_check(cat, "2026-06-15")
+
+
+ORACLE_EXT2["ivf_tuning"] = """
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 50),
+cat AS (
+  SELECT 'c' || lpad(i::VARCHAR, 2, '0') AS name,
+         ([0, 500, 40000, 2500000][(i % 4 + 1)::INT] + i * 137)::BIGINT
+           AS vc,
+         ([0, 10, 700, 2100][(i % 4 + 1)::INT] + (i % 3) * 13)::BIGINT
+           AS cur,
+         CASE WHEN i % 6 <> 5
+              THEN DATE '2026-06-15' - ((i * 5) % 35)::INT END AS last
+  FROM ids
+),
+calc AS (
+  SELECT name, vc, cur,
+         CASE WHEN vc < 1000 THEN 10
+              WHEN vc < 1000000 THEN greatest(10, vc // 1000)
+              ELSE greatest(100, floor(sqrt(vc))::BIGINT) END AS opt,
+         CASE WHEN last IS NOT NULL
+              THEN datediff('day', last, DATE '2026-06-15') END AS ds
+  FROM cat
+),
+flags AS (
+  SELECT name, vc, cur, opt,
+         greatest(10, floor(sqrt(opt))::BIGINT) AS probes,
+         (vc > 0 AND cur > 0
+          AND abs(cur - opt)::DOUBLE / opt > 0.5) AS subopt,
+         coalesce(ds, -1) AS ds,
+         (vc > 0 AND ds IS NOT NULL AND ds > 14) AS overdue
+  FROM calc
+)
+SELECT name, vc AS vector_count, cur AS current_lists,
+       opt AS optimal_lists, probes::BIGINT AS optimal_probes,
+       subopt AS lists_suboptimal, ds::BIGINT AS days_since_reindex,
+       overdue AS reindex_overdue,
+       concat_ws('|',
+         CASE WHEN subopt THEN printf(
+           '%s: lists=%d may be suboptimal (suggested ~%d for %d vectors)',
+           name, cur, opt, vc) END,
+         CASE WHEN overdue THEN printf(
+           '%s: last reindex was %d days ago', name, ds) END
+       ) AS warnings
+FROM flags
+"""
