@@ -118,6 +118,9 @@ def content_anomalies(
     vec_col: str = "embedding",
     threshold: float = 3.0,
     min_cluster_distance: float = 0.7,
+    nn_mode: str = "brute",
+    bands: int = 8,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """A1 detect_content_anomalies, reference-FAITHFUL port
     (detector.py:64-137): for each document, cosine distances to every
@@ -180,8 +183,14 @@ def content_anomalies(
         .groupBy("_id")
         .agg(F.sum(F.col("x") * F.col("s")).alias("dS"))
     )
-    # exact nearest neighbor (max cosine over others) — brute top-1;
-    # swap in lsh/ivf topk at corpus scale
+    # nearest neighbor (max cosine over others):
+    # - "brute": exact all-pairs top-1 (the oracle path, O(n²))
+    # - "banded": candidates from the banded hyperplane LSH; a vector
+    #   whose true NN straddles every band reads as having NO near
+    #   neighbor (max_cos → −1, min_dist → 2) — for THIS detector the
+    #   error direction is conservative (isolation can only be
+    #   over-reported, never hidden), which is why the approximation is
+    #   sound at corpus scale where O(n²) is not an option
     dot = F.aggregate(
         F.zip_with(
             F.col("a.u"), F.col("b.u"), lambda x, y: x * y
@@ -189,12 +198,39 @@ def content_anomalies(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    max_cos = (
-        u.alias("a")
-        .join(u.alias("b"), F.col("a._id") != F.col("b._id"))
-        .groupBy(F.col("a._id").alias("_id"))
-        .agg(F.max(dot).alias("max_cos"))
-    )
+    if nn_mode == "banded":
+        from .similarity import hyperplane_bucket, recommended_rows_per_band
+
+        r = rows_per_band or recommended_rows_per_band(n)
+        band_keys = [
+            hyperplane_bucket(F.col("u"), r, plane_offset=b * r)
+            for b in range(bands)
+        ]
+        banded = u.select(
+            "_id", "u",
+            F.posexplode(F.array(*band_keys)).alias("band", "key"),
+        )
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a._id") != F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("_id"))
+            .agg(F.max(dot).alias("max_cos"))
+        )
+        max_cos = u.select("_id").join(cand, "_id", "left").select(
+            "_id", F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos")
+        )
+    else:
+        max_cos = (
+            u.alias("a")
+            .join(u.alias("b"), F.col("a._id") != F.col("b._id"))
+            .groupBy(F.col("a._id").alias("_id"))
+            .agg(F.max(dot).alias("max_cos"))
+        )
     nn = F.lit(n - 1).cast("double")
     mean_cos = (F.col("dS") - 1) / nn
     e_cos2 = (F.col("dGd") - 1) / nn

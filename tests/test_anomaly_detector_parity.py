@@ -307,3 +307,46 @@ def test_red_flags_parity(ref, spark):
         assert r["score"] == a.score, k
         assert r["severity"] == a.severity.value, k
         assert r["confidence"] == pytest.approx(a.confidence), k
+
+
+def test_content_anomalies_banded_mode(ref, spark):
+    """The banded NN scale path: on the clone corpus it agrees exactly
+    with brute (every true NN is a clone, caught by any band); errors
+    can only be CONSERVATIVE (flags are a superset on any corpus)."""
+    import numpy as np
+
+    from arkhammirror_spark.operators.anomalies import content_anomalies
+
+    rng = np.random.RandomState(29)
+    base = rng.randn(16)
+    vecs = []
+    for i in range(30):
+        if i < 26:
+            vecs.append(base + 0.05 * rng.randn(16))
+        else:
+            w = rng.randn(16)
+            w -= w.dot(base) / base.dot(base) * base
+            vecs.append(w * 2)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    brute = {r["vec_id"]: r for r in content_anomalies(
+        emb, min_cluster_distance=0.5
+    ).collect()}
+    banded = {r["vec_id"]: r for r in content_anomalies(
+        emb, min_cluster_distance=0.5, nn_mode="banded",
+        bands=8, rows_per_band=4,
+    ).collect()}
+    # conservative: everything brute flags, banded flags too
+    assert set(brute) <= set(banded)
+    # moments are mode-independent (closed form) — identical where both flag
+    for k in brute:
+        assert banded[k]["mean_dist"] == pytest.approx(
+            brute[k]["mean_dist"], rel=1e-12
+        )
+        assert banded[k]["std_dist"] == pytest.approx(
+            brute[k]["std_dist"], rel=1e-12
+        )
+        # banded min_dist can only be >= brute (missed candidates)
+        assert banded[k]["min_dist"] >= brute[k]["min_dist"] - 1e-12
