@@ -81,8 +81,18 @@ _PAYLOADS: dict[str, bytes] = {}  # path -> bytes, consumed by the magic stub
 def ref():
     """Load the real models.py + hidden_content.py with scipy/PIL/magic
     shimmed. The scipy shim is the EXACT df=1 chi-square CDF
-    (erf(sqrt(x/2))) — the same function scipy evaluates at :193."""
+    (erf(sqrt(x/2))) — the same function scipy evaluates at :193.
+
+    The _IMAGES/_PAYLOADS registries live ON the PIL stub module:
+    pytest can import this test file under TWO module names (top-level
+    by the collector, and as ``tests.test_hidden_content`` by the fuzz
+    suite), and the stubs must serve whichever copy is running."""
+    global _IMAGES, _PAYLOADS
     if "arkham_shard_anomalies.hidden_content" in sys.modules:
+        pil = sys.modules.get("PIL")
+        if pil is not None and hasattr(pil, "_hidden_images"):
+            _IMAGES = pil._hidden_images
+            _PAYLOADS = pil._hidden_payloads
         m = sys.modules
         return (m["arkham_shard_anomalies.models"],
                 m["arkham_shard_anomalies.hidden_content"])
@@ -111,6 +121,8 @@ def ref():
             return _StubImage(_IMAGES[path])
 
     pil.Image = _ImageMod
+    pil._hidden_images = _IMAGES
+    pil._hidden_payloads = _PAYLOADS
     sys.modules["PIL"] = pil
     sys.modules["PIL.Image"] = types.ModuleType("PIL.Image")
     sys.modules["PIL.Image"].open = _ImageMod.open
