@@ -64,12 +64,15 @@ def text_stat_metrics(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """_calculate_text_stats (detector.py:384-395) as native columns:
-    word_count (whitespace-run split, Python str.split semantics),
-    sentence_count (period split, empties INCLUDED — len(text.split('.'))
-    counts dots + 1), avg_word_length, avg_sentence_length
-    (words/sentences), char_count."""
+    word_count (whitespace-run split, Python str.split semantics —
+    `(?U)\\s+` matches the Unicode White_Space set like the simhash lane;
+    the only residual deviation from str.split() is U+001C-001F, which
+    Python treats as whitespace but Unicode does not), sentence_count
+    (period split, empties INCLUDED — len(text.split('.')) counts dots
+    + 1), avg_word_length, avg_sentence_length (words/sentences),
+    char_count."""
     words = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.col(text_col), r"(?U)\s+"), lambda w: F.length(w) > 0
     )
     word_count = F.size(words).cast("double")
     sentence_count = F.size(F.split(F.col(text_col), r"\.", -1)).cast(

@@ -49,7 +49,9 @@ _OUT_COLS = [
 ]
 
 
-def _prep(events: DataFrame) -> DataFrame:
+def _prep(
+    events: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     cols = {
         "ord": F.col("ord").cast("long"),
         "id": F.col("id").cast("string"),
@@ -68,7 +70,10 @@ def _prep(events: DataFrame) -> DataFrame:
             else F.lit(None).cast("long")
         ),
     }
-    ev = events.select(*[c.alias(n) for n, c in cols.items()])
+    ev = events.select(
+        *[c.alias(n) for n, c in cols.items()],
+        *[F.col(p) for p in passthrough],
+    )
     ranks = ev.groupBy("document_id").agg(F.min("ord").alias("doc_rank"))
     # slim frame reused by every arm; lazy checkpoint keeps contract
     # schema analysis free while the candidate joins share one compute
@@ -278,13 +283,15 @@ def detect_gaps(
     needs a global sort is small by construction). At corpus scale pass
     `group_col` (project/case id): every window then partitions by it and
     the lag/median math runs per-group in parallel."""
-    ev = _prep(events)
-    g = (
-        F.col(group_col)
-        if group_col and group_col in events.columns
-        else F.lit(1)
-    )
-    ev = ev.withColumn("_g", g)
+    # _prep projects events down to a fixed column set, so a caller-named
+    # group column must be computed BEFORE the projection and carried
+    # through it (a post-_prep F.col(group_col) would be unresolvable).
+    if group_col and group_col in events.columns:
+        ev = _prep(
+            events.withColumn("_g", F.col(group_col)), passthrough=("_g",)
+        )
+    else:
+        ev = _prep(events).withColumn("_g", F.lit(1))
     w = Window.partitionBy("_g").orderBy("date_start", "ord")
     adj = (
         ev.withColumn("n_ev", F.count(F.lit(1)).over(Window.partitionBy("_g")))

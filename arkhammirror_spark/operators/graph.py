@@ -485,14 +485,14 @@ def connected_components_distributed(
     driver_cap=None to force the distributed path.
     """
     if driver_cap is not None:
-        dedup_edges = (
-            edges.select(
-                F.least("entity_a", "entity_b").alias("a"),
-                F.greatest("entity_a", "entity_b").alias("b"),
-            )
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        # self-loop rows (a == b) are kept: they seed their node into
+        # parent{} as its own component, matching the distributed path
+        # (where min over neighbors ∪ self keeps such nodes) — filtering
+        # them out would make the output depend on which path ran
+        dedup_edges = edges.select(
+            F.least("entity_a", "entity_b").alias("a"),
+            F.greatest("entity_a", "entity_b").alias("b"),
+        ).distinct()
         head = dedup_edges.limit(driver_cap + 1).collect()
         if len(head) <= driver_cap:
             parent: dict[str, str] = {}
@@ -509,6 +509,8 @@ def connected_components_distributed(
                 a, b = row["a"], row["b"]
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
+                if a == b:
+                    continue
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[ra] = rb

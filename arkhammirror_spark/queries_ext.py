@@ -318,13 +318,13 @@ def q_zscore_len_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZSCORE_SQL = """
 WITH m AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\\s+'),
+         len(list_filter(string_split_regex(text, '[\\s\\p{Z}\\x{0085}]+'),
                          w -> len(w) > 0))::DOUBLE AS word_count,
          len(string_split(text, '.'))::DOUBLE AS sentence_count,
          length(text)::DOUBLE AS char_count,
          list_aggregate(
            list_transform(
-             list_filter(string_split_regex(text, '\\s+'),
+             list_filter(string_split_regex(text, '[\\s\\p{Z}\\x{0085}]+'),
                          w -> len(w) > 0),
              w -> len(w)), 'sum')::DOUBLE AS total_wlen
   FROM documents

@@ -18,6 +18,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _merge_driver_java_options(caller: str, log_flag: str) -> str:
+    """Merge the repo's log4j2 deny-filter flag with caller-supplied
+    spark.driver.extraJavaOptions. The caller's flags are kept; the log4j
+    flag is prepended unless the caller pins their own log4j config."""
+    if "-Dlog4j.configurationFile=" in caller:
+        return caller
+    return f"{log_flag} {caller}".strip()
+
+
 def get_spark(
     app_name: str = "arkhammirror-spark",
     master: str | None = None,
@@ -52,12 +61,18 @@ def get_spark(
     log_conf = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "conf", "log4j2.properties"
     )
+    extra = dict(extra or {})
     if os.path.exists(log_conf):
+        log_flag = f"-Dlog4j.configurationFile=file:{log_conf}"
+        # merge with (never silently replaced by) caller-supplied driver
+        # java options — losing the deny-filter would make bench's
+        # stderr_trace_lines gate count the benign accumulator race
+        caller = extra.pop("spark.driver.extraJavaOptions", "")
         b = b.config(
             "spark.driver.extraJavaOptions",
-            f"-Dlog4j.configurationFile=file:{log_conf}",
+            _merge_driver_java_options(caller, log_flag),
         )
-    for k, v in (extra or {}).items():
+    for k, v in extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

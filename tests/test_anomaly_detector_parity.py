@@ -72,6 +72,10 @@ def _texts():
     out.append("x. " * 200)            # sentence_count outlier
     out.append("supercalifragilistic " * 40)  # avg_word_length outlier
     out.append("a " * 900 + ".")       # word_count + char_count outlier
+    # Unicode whitespace (NBSP, LINE SEPARATOR, ideographic space, NEL):
+    # Python str.split() treats all of these as separators; the Spark lane
+    # must too ((?U)\s+), not just ASCII \s.
+    out.append("alpha\xa0beta\u2028gamma\u3000delta\x85eps. done.")
     return out
 
 

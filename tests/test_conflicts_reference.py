@@ -275,3 +275,45 @@ def test_conflict_type_subset(ref, spark):
         ).collect()
     )
     assert got == exp
+
+
+def test_gaps_group_col_survives_prep_projection(ref, spark):
+    """Regression: detect_gaps(group_col=...) with a caller-named column
+    (e.g. a project/case id) that is NOT in _prep's fixed projection must
+    not raise an unresolved-column error — the group column is computed
+    before the projection and carried through it. Per-group output must
+    equal running the reference detector on each group separately."""
+    models, rc = ref
+    evs_a = _fuzz_events(21, n=10, date_spread=60)
+    evs_b = _fuzz_events(22, n=10, date_spread=60)
+    for e in evs_b:
+        e["ord"] += 100
+        e["id"] = "b" + e["id"]
+        e["document_id"] = "pb_" + e["document_id"]
+    rows = [
+        (
+            e["ord"], e["id"], e["document_id"], e["text"],
+            e["date_start"].date(), e["confidence"], list(e["entities"]),
+            e["pos"], proj,
+        )
+        for proj, evs in (("alpha", evs_a), ("beta", evs_b))
+        for e in evs
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "ord long, id string, document_id string, text string, "
+        "date_start date, confidence double, entities array<string>, "
+        "pos long, project_id string",
+    )
+    det = rc.ConflictDetector(tolerance_days=0)
+    gap_types = [t for t in rc.ConflictType if t.value == "gap"]
+    exp = _ref_sigs(
+        det.detect_conflicts(_to_ref(models, evs_a), gap_types)
+        + det.detect_conflicts(_to_ref(models, evs_b), gap_types)
+    )
+    got = _spark_sigs(
+        detect_temporal_conflicts(
+            frame, conflict_types=["gap"], group_col="project_id"
+        ).collect()
+    )
+    assert got == exp

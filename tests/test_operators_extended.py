@@ -158,6 +158,28 @@ class TestGraph:
         }
         assert forced == dist
 
+    def test_components_self_loop_only_node_both_paths(self, spark):
+        """Regression: a node appearing ONLY in a self-loop edge must get
+        its own component on BOTH the driver union-find fast path and the
+        distributed min-label path — output must not depend on which ran."""
+        edges = spark.createDataFrame(
+            [("a", "b"), ("solo", "solo"), ("b", "a")],
+            "entity_a: string, entity_b: string",
+        )
+        fast = {
+            r["name"]: r["component"]
+            for r in connected_components_distributed(edges).collect()
+        }
+        dist = {
+            r["name"]: r["component"]
+            for r in connected_components_distributed(
+                edges, driver_cap=None
+            ).collect()
+        }
+        assert fast == dist
+        assert fast["solo"] == "solo"
+        assert fast["a"] == fast["b"] == "a"
+
     def test_betweenness_distributed_matches_driver_side(self, spark):
         """Source-parallel betweenness must give the exact per-node scores
         of graph_algorithms.betweenness_centrality (same per-source transit

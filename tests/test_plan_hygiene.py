@@ -134,3 +134,17 @@ def test_contradiction_candidates_no_cartesian(spark):
         if "BroadcastNestedLoopJoin" in line:
             assert "cid" not in line and "id_a" not in line, line
             assert "_n#" in line, line  # scalar count build side
+
+
+def test_driver_java_options_merge():
+    """Caller-supplied spark.driver.extraJavaOptions must be MERGED with
+    the log4j2 deny-filter flag, not silently replaced (ADVICE r6) — and a
+    caller pinning their own log4j config wins."""
+    from arkhammirror_spark.session import _merge_driver_java_options
+
+    flag = "-Dlog4j.configurationFile=file:/x/log4j2.properties"
+    assert _merge_driver_java_options("", flag) == flag
+    merged = _merge_driver_java_options("-XX:+UseG1GC -Dfoo=1", flag)
+    assert flag in merged and "-XX:+UseG1GC" in merged and "-Dfoo=1" in merged
+    pinned = "-Dlog4j.configurationFile=file:/theirs.properties -Dbar=2"
+    assert _merge_driver_java_options(pinned, flag) == pinned
