@@ -362,6 +362,24 @@ MERGES: dict[str, tuple[list, list]] = {
            "median_gap": "median_gap", "text1": "text1",
            "text2": "text2"})],
     ),
+    "timeline_events": (
+        [("doc_id", _B), ("date_text", _S), ("date_start", _DT),
+         ("event_kind", _S), ("confidence", _D), ("entity_id", _S),
+         ("event_count", _B), ("range_start", _DT), ("range_end", _DT),
+         ("related", _S)],
+        [("events", "timeline_events",
+          {"doc_id": "doc_id", "date_text": "date_text",
+           "date_start": "date_start", "event_kind": "event_kind",
+           "confidence": "confidence"}),
+         ("links", "entity_event_links",
+          {"doc_id": "doc_id", "entity_id": "entity_id"}),
+         ("tl", "entity_timeline_events",
+          {"doc_id": "doc_id", "date_text": "date_text",
+           "date_start": "date_start"}),
+         ("summary", "entity_timeline_stats",
+          {"event_count": "event_count", "range_start": "range_start",
+           "range_end": "range_end", "related": "related_entities"})],
+    ),
     "claims": (
         [("doc_id", _B), ("claim_text", _S), ("confidence", _D),
          ("id_a", _B), ("id_b", _B), ("score", _D), ("match_type", _S),

@@ -2910,3 +2910,207 @@ filt_row AS (
 SELECT * FROM node_rows UNION ALL SELECT * FROM edge_rows
 UNION ALL SELECT * FROM bounds_rows UNION ALL SELECT * FROM filt_row
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity-event linking + entity timeline (timeline/shard.py:559-664,
+# 485-557) — pinned entity fixture over the documents vocabulary so the
+# word-boundary matcher, the alias first-occurrence rule, and the
+# timeline filter/summary all fire on real corpus text. The Spark lane
+# runs the token-blocked join (operators/entity_events.py); the oracle
+# re-derives the SAME semantics in SQL (min-pos alias acceptance +
+# regex word-boundary match) — names are metachar-free so both engines'
+# literal-quoting is the identity.
+# ---------------------------------------------------------------------------
+
+# (entity_id, name, aliases) — e02's alias collides with e01's name
+# (suppressed), e04's primary name reclaims e01's alias (kept), e07 has
+# an empty name (row dropped entirely, alias never considered), e08's
+# alias collides with e05's name (suppressed), e09's name never occurs
+# but its alias does.
+_EE_ENTITIES = [
+    ("e01", "spark", ["vector stream"]),
+    ("e02", "merge", ["spark"]),
+    ("e03", "customer line", ["batch batch"]),
+    ("e04", "vector stream", []),
+    ("e05", "slow join", ["big merge"]),
+    ("e06", "window window", []),
+    ("e07", "", ["query row"]),
+    ("e08", "hash scan", ["slow join"]),
+    ("e09", "zzz qqq", ["order sort"]),
+]
+
+_EE_TARGET = "e03"
+_EE_LO = "2019-01-01"
+_EE_HI = "2024-01-31"
+_EE_MOD = 13  # doc_id % 13 == 0 bounds the fixture corpus
+
+
+def _ee_entities_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _EE_ENTITIES, "id string, name string, aliases array<string>"
+    )
+
+
+def _ee_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % _EE_MOD == 0)
+        .select("doc_id", "text")
+    )
+
+
+def _ee_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, entities array) — docs as pseudo-events."""
+    from .operators.entity_events import link_entities_to_events
+
+    docs = _ee_docs(spark, sf_dir).withColumn(
+        "entities", F.array().cast("array<string>")
+    )
+    return link_entities_to_events(
+        docs,
+        _ee_entities_df(spark),
+        event_id_col="doc_id",
+        text_col="text",
+        entity_id_col="id",
+        order_col="id",
+    ).select("doc_id", "entities")
+
+
+def _ee_items_sql() -> str:
+    """Exploded (id, s, pos, is_name) VALUES — the mechanical explode of
+    _EE_ENTITIES; the acceptance rule itself stays in SQL."""
+    rows = []
+    for r_idx, (eid, name, aliases) in enumerate(_EE_ENTITIES):
+        if name:
+            rows.append(f"('{eid}', '{name.lower()}', {r_idx * 100}, TRUE)")
+        if name:  # empty-name rows are dropped by the reference SQL WHERE
+            for i, a in enumerate(aliases):
+                rows.append(
+                    f"('{eid}', '{a.lower()}', {r_idx * 100 + i + 1}, FALSE)"
+                )
+    return ",\n    ".join(rows)
+
+
+_EE_KEPT_SQL = f"""
+items(id, s, pos, is_name) AS (VALUES
+    {_ee_items_sql()}),
+kept AS (
+  SELECT DISTINCT id, s FROM (
+    SELECT id, s, is_name, pos,
+           min(pos) OVER (PARTITION BY s) AS mp
+    FROM items)
+  WHERE is_name OR pos = mp
+),
+d AS (
+  SELECT doc_id, lower(text) AS tl FROM documents
+  WHERE doc_id % {_EE_MOD} = 0
+),
+links AS (
+  SELECT DISTINCT d.doc_id, k.id AS entity_id
+  FROM d, kept k
+  WHERE regexp_matches(d.tl, '\\b' || k.s || '\\b')
+)"""
+
+
+@register(
+    "entity_event_links",
+    f"""WITH {_EE_KEPT_SQL.lstrip()}
+SELECT doc_id, entity_id FROM links""",
+)
+def q_entity_event_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_link_entities_to_events over the bounded corpus: one row per
+    (doc, matched entity)."""
+    return _ee_linked(spark, sf_dir).select(
+        "doc_id", F.explode("entities").alias("entity_id")
+    )
+
+
+def _ee_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline events (the q_timeline_events phrase fixture, bounded)
+    carrying doc-level linked entities."""
+    from .operators.timeline import extract_timeline_events
+    from .queries_ext import _TL_PHRASES
+
+    phr = F.array(*[F.lit(p) for p in _TL_PHRASES])
+    docs = _ee_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.element_at(
+                phr, (F.col("doc_id") % len(_TL_PHRASES) + 1).cast("int")
+            ),
+        ).alias("t"),
+    )
+    ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
+    return ev.join(_ee_linked(spark, sf_dir), "doc_id", "left")
+
+
+def _ee_tl_sql(select: str) -> str:
+    """Timeline-arm oracle: the full timeline_events oracle (already a
+    value-exact mirror of extract_timeline_events) bounded to the fixture
+    corpus, filtered to events whose doc links the target entity inside
+    the date range — get_entity_timeline's filter (shard.py:518-527)."""
+    from .queries_ext import _TIMELINE_SQL
+
+    return f"""WITH {_EE_KEPT_SQL.lstrip()},
+ev AS (
+  SELECT t.doc_id, t.date_text, t.date_start
+  FROM ({_TIMELINE_SQL}) t
+  WHERE t.doc_id % {_EE_MOD} = 0
+),
+tl AS (
+  SELECT ev.* FROM ev
+  WHERE EXISTS (SELECT 1 FROM links l
+                WHERE l.doc_id = ev.doc_id
+                  AND l.entity_id = '{_EE_TARGET}')
+    AND ev.date_start >= DATE'{_EE_LO}'
+    AND ev.date_start <= DATE'{_EE_HI}'
+)
+{select}"""
+
+
+@register(
+    "entity_timeline_events",
+    _ee_tl_sql("SELECT doc_id, date_text, date_start FROM tl"),
+)
+def q_entity_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_entity_timeline filter shape: events mentioning the target
+    entity inside the date range."""
+    from .operators.entity_events import entity_timeline
+    import datetime as _dt
+
+    tl = entity_timeline(
+        _ee_events(spark, sf_dir),
+        _EE_TARGET,
+        _dt.date.fromisoformat(_EE_LO),
+        _dt.date.fromisoformat(_EE_HI),
+    )
+    return tl.select("doc_id", "date_text", "date_start")
+
+
+@register(
+    "entity_timeline_stats",
+    _ee_tl_sql(f"""SELECT
+  (SELECT count(*) FROM tl)::BIGINT AS event_count,
+  (SELECT min(date_start) FROM tl) AS range_start,
+  (SELECT max(date_start) FROM tl) AS range_end,
+  coalesce((SELECT string_agg(DISTINCT entity_id, ',' ORDER BY entity_id)
+            FROM links
+            WHERE doc_id IN (SELECT DISTINCT doc_id FROM tl)
+              AND entity_id != '{_EE_TARGET}'), '') AS related_entities"""),
+)
+def q_entity_timeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_entity_timeline aggregate shape: count, date range, related
+    entities (co-event entity union minus the target), csv-serialized."""
+    from .operators.entity_events import entity_timeline_summary
+    import datetime as _dt
+
+    return entity_timeline_summary(
+        _ee_events(spark, sf_dir),
+        _EE_TARGET,
+        _dt.date.fromisoformat(_EE_LO),
+        _dt.date.fromisoformat(_EE_HI),
+    ).select(
+        "event_count", "range_start", "range_end", "related_entities"
+    )

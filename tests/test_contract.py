@@ -43,7 +43,7 @@ def test_every_part_query_is_served_exactly_once():
     shadowed = (set(MERGES) | {PROFILE_JOIN[0]}) & set(QUERIES)
     assert shadowed == {
         "mentions", "neardup_jaccard", "interval_conflicts", "claims",
-        "graph_ego",
+        "graph_ego", "timeline_events",
     }
     # every absorbed part exists in the part registry with an oracle
     for src in absorbed:
