@@ -154,7 +154,9 @@ MERGES: dict[str, tuple[list, list]] = {
          ("n_edges", _B), ("density", _D), ("avg_degree", _D),
          ("kind", _S), ("snapshot_idx", _B), ("snapshot_date", _S),
          ("nodes_added", _B), ("nodes_removed", _B), ("edges_added", _B),
-         ("edges_removed", _B)],
+         ("edges_removed", _B), ("flow_target", _S), ("flow_value", _D),
+         ("category", _S), ("label", _S), ("etype", _S),
+         ("total_flow", _D)],
         [("stats", "graph_stats",
           {"n_nodes": "n_nodes", "n_edges": "n_edges", "density": "density",
            "avg_degree": "avg_degree"}),
@@ -167,7 +169,12 @@ MERGES: dict[str, tuple[list, list]] = {
            "nodes_added": "nodes_added",
            "nodes_removed": "nodes_removed",
            "edges_added": "edges_added",
-           "edges_removed": "edges_removed"})],
+           "edges_removed": "edges_removed"}),
+         ("flows", "graph_flows",
+          {"kind": "kind", "entity_name": "id1", "flow_target": "id2",
+           "flow_value": "value", "category": "category",
+           "snapshot_idx": "layer", "label": "label", "etype": "etype",
+           "total_flow": "total", "n_nodes": "layer_count"})],
     ),
     "ann_topk": (
         [("vec_id", _B), ("score", _D), ("k", _B), ("recall_ok", _BO),
@@ -298,7 +305,17 @@ MERGES: dict[str, tuple[list, list]] = {
          ("consistency_score", _B), ("inconsistency_count", _B),
          ("weighted_score", _D), ("normalized_score", _D),
          ("evidence_count", _B), ("rank", _I), ("evidence_id", _S),
-         ("variance", _D), ("mean_consistency", _D), ("rating_count", _B)],
+         ("variance", _D), ("mean_consistency", _D), ("rating_count", _B),
+         ("kind", _S), ("id2", _S), ("new_rank", _I), ("change", _I),
+         ("sensitivity", _S), ("uncertain_count", _B),
+         ("max_rank_change", _I), ("q_score", _D), ("q_level", _S),
+         ("issues", _S), ("warnings", _S), ("severity", _S),
+         ("detail", _S), ("agree", _B), ("disagree", _B),
+         ("sugg_idx", _I), ("suggestion", _S), ("label", _S),
+         ("confidence", _D), ("is_lead", _BO), ("credibility", _D),
+         ("evtype", _S), ("esource", _S), ("edge_type", _S),
+         ("strength", _D), ("rating_value", _S), ("status", _S),
+         ("support", _B), ("attack", _B), ("net", _D)],
         [("scores", "ach_scores",
           {"matrix_id": "matrix_id", "hypothesis_id": "hypothesis_id",
            "consistency_score": "consistency_score",
@@ -309,7 +326,31 @@ MERGES: dict[str, tuple[list, list]] = {
          ("diagnosticity", "ach_diagnosticity",
           {"matrix_id": "matrix_id", "evidence_id": "evidence_id",
            "variance": "variance", "mean_consistency": "mean_consistency",
-           "rating_count": "rating_count"})],
+           "rating_count": "rating_count"}),
+         ("sensitivity", "ach_sensitivity",
+          {"kind": "kind", "matrix_id": "matrix_id",
+           "hypothesis_id": "hypothesis_id", "rank": "original_rank",
+           "new_rank": "new_rank", "change": "change",
+           "sensitivity": "sensitivity",
+           "uncertain_count": "uncertain_count",
+           "max_rank_change": "max_rank_change"}),
+         ("evidence", "ach_evidence",
+          {"kind": "kind", "matrix_id": "matrix_id",
+           "evidence_id": "id1", "id2": "id2", "q_score": "q_score",
+           "q_level": "q_level", "issues": "issues",
+           "warnings": "warnings", "severity": "severity",
+           "detail": "detail", "agree": "agree", "disagree": "disagree",
+           "sugg_idx": "sugg_idx", "suggestion": "suggestion"}),
+         ("argumentation", "ach_argumentation",
+          {"kind": "kind", "matrix_id": "matrix_id",
+           "evidence_id": "id1", "id2": "id2", "label": "label",
+           "confidence": "confidence",
+           "consistency_score": "consistency", "rank": "rank_pos",
+           "is_lead": "is_lead", "credibility": "credibility",
+           "evtype": "evtype", "esource": "esource",
+           "edge_type": "edge_type", "strength": "strength",
+           "rating_value": "rating_value", "status": "status",
+           "support": "support", "attack": "attack", "net": "net"})],
     ),
     "pattern_analysis": (
         [("user_id", _B), ("session_idx", _B), ("n_events", _B),

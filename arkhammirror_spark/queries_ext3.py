@@ -3114,3 +3114,798 @@ def q_entity_timeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_count", "range_start", "range_end", "related_entities"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ACH surfaces: sensitivity analysis (scoring.py:185-259),
+# evidence analyzer (evidence.py:18-316), argumentation transform
+# (graph/argumentation.py:97-260) — same three synthetic matrices as
+# ach_scores plus a per-evidence attribute fixture (the ratings fixture
+# varies cred/rel per row for weighting coverage; evidence-level rules
+# need one attribute set per evidence item, including an unrated e8).
+# ---------------------------------------------------------------------------
+
+_ACH_TYPES_PRESENT = ["fact", "document", "testimony", "physical"]
+
+
+def _ach_evidence(spark: SparkSession) -> DataFrame:
+    m, e = F.col("m"), F.col("e")
+    base = (
+        spark.range(3)
+        .select(F.col("id").alias("m"))
+        .select("m", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("e"))
+    )
+    return base.select(
+        F.concat(F.lit("mx"), m).alias("matrix_id"),
+        F.concat(F.lit("e"), e).alias("evidence_id"),
+        F.repeat(F.lit("d"), (F.lit(40) + e * 12 + m).cast("int")).alias(
+            "description"
+        ),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _ACH_TYPES_PRESENT]),
+            ((e + m) % 4 + 1).cast("int"),
+        ).alias("evidence_type"),
+        F.when((e + m) % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("src"), e.cast("string"))
+        ).alias("source"),
+        (F.lit(20) + (e * 17 + m) % 81).cast("int").alias("cred_centi"),
+        (F.lit(20) + (e * 23 + m * 7) % 81).cast("int").alias("rel_centi"),
+    )
+
+
+def _ach_hypotheses(spark: SparkSession) -> DataFrame:
+    m, h = F.col("m"), F.col("h")
+    base = (
+        spark.range(3)
+        .select(F.col("id").alias("m"))
+        .select("m", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("h"))
+    )
+    return base.select(
+        F.concat(F.lit("mx"), m).alias("matrix_id"),
+        F.concat(F.lit("h"), h).alias("hypothesis_id"),
+        F.concat(F.lit("Hyp h"), h.cast("string"), F.lit(" mx"),
+                 m.cast("string")).alias("title"),
+    )
+
+
+def _NA_B():
+    return F.lit(-424242).cast("long")
+
+
+def _NA_I():
+    return F.lit(-424242).cast("int")
+
+
+def _NA_D():
+    return F.lit(-424242.0)
+
+
+def _NA_S():
+    return F.lit("<na>")
+
+
+@register("ach_sensitivity", None)  # oracle below
+def q_ach_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity analysis (scoring.py:185-259): rank changes after
+    dropping uncertain (<0.7 cred/relevance) evidence + per-matrix
+    sensitivity verdict."""
+    from .operators.ach import (
+        ach_sensitivity_changes, ach_sensitivity_summary,
+    )
+
+    ratings = _ach_ratings(spark)
+    evidence = _ach_evidence(spark)
+    ch = ach_sensitivity_changes(ratings, evidence).select(
+        F.lit("change").alias("kind"), "matrix_id", "hypothesis_id",
+        F.col("original_rank").cast("int").alias("original_rank"),
+        F.col("new_rank").cast("int").alias("new_rank"),
+        F.col("change").cast("int").alias("change"),
+        _NA_S().alias("sensitivity"), _NA_B().alias("uncertain_count"),
+        _NA_I().alias("max_rank_change"),
+    )
+    su = ach_sensitivity_summary(ratings, evidence).select(
+        F.lit("summary").alias("kind"), "matrix_id",
+        _NA_S().alias("hypothesis_id"), _NA_I().alias("original_rank"),
+        _NA_I().alias("new_rank"), _NA_I().alias("change"),
+        "sensitivity",
+        F.col("uncertain_evidence_count").cast("long").alias(
+            "uncertain_count"
+        ),
+        F.col("max_rank_change").cast("int").alias("max_rank_change"),
+    )
+    return ch.unionByName(su)
+
+
+@register("ach_evidence", None)  # oracle below
+def q_ach_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence analyzer (evidence.py:18-316): per-item quality
+    assessment, gap analysis, pairwise agreement, rule-based
+    suggestions."""
+    from .operators.ach import (
+        compare_evidence_pairs, evidence_gaps, evidence_quality,
+        suggest_evidence,
+    )
+
+    ratings = _ach_ratings(spark)
+    evidence = _ach_evidence(spark)
+    hyps = _ach_hypotheses(spark)
+    q = evidence_quality(evidence).select(
+        F.lit("quality").alias("kind"), "matrix_id",
+        F.col("evidence_id").alias("id1"), _NA_S().alias("id2"),
+        F.round("quality_score", 6).alias("q_score"),
+        F.col("quality_level").alias("q_level"), "issues", "warnings",
+        _NA_S().alias("severity"), _NA_S().alias("detail"),
+        _NA_B().alias("agree"), _NA_B().alias("disagree"),
+        _NA_I().alias("sugg_idx"), _NA_S().alias("suggestion"),
+    )
+    g = evidence_gaps(ratings, evidence).select(
+        F.lit("gap").alias("kind"), "matrix_id",
+        F.col("ref_id").alias("id1"), _NA_S().alias("id2"),
+        _NA_D().alias("q_score"), _NA_S().alias("q_level"),
+        _NA_S().alias("issues"), _NA_S().alias("warnings"),
+        "severity", F.col("gap_type").alias("detail"),
+        _NA_B().alias("agree"), _NA_B().alias("disagree"),
+        _NA_I().alias("sugg_idx"),
+        F.col("detail").alias("suggestion"),
+    )
+    c = compare_evidence_pairs(ratings).select(
+        F.lit("compare").alias("kind"), "matrix_id",
+        F.col("evidence1_id").alias("id1"),
+        F.col("evidence2_id").alias("id2"),
+        _NA_D().alias("q_score"), _NA_S().alias("q_level"),
+        _NA_S().alias("issues"), _NA_S().alias("warnings"),
+        _NA_S().alias("severity"), _NA_S().alias("detail"),
+        F.col("agreement_count").cast("long").alias("agree"),
+        F.col("disagreement_count").cast("long").alias("disagree"),
+        _NA_I().alias("sugg_idx"), _NA_S().alias("suggestion"),
+    )
+    s = suggest_evidence(ratings, evidence, hyps).select(
+        F.lit("suggest").alias("kind"), "matrix_id",
+        F.col("hypothesis_id").alias("id1"), _NA_S().alias("id2"),
+        _NA_D().alias("q_score"), _NA_S().alias("q_level"),
+        _NA_S().alias("issues"), _NA_S().alias("warnings"),
+        _NA_S().alias("severity"), _NA_S().alias("detail"),
+        _NA_B().alias("agree"), _NA_B().alias("disagree"),
+        F.col("suggestion_idx").cast("int").alias("sugg_idx"),
+        "suggestion",
+    )
+    return q.unionByName(g).unionByName(c).unionByName(s)
+
+
+@register("ach_argumentation", None)  # oracle below
+def q_ach_argumentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACH -> argumentation graph (argumentation.py:97-260): hypothesis
+    and evidence nodes, support/attack edges, Dung-style statuses."""
+    from .operators.ach import ach_scores
+    from .operators.argumentation import (
+        argument_edges, argument_statuses, evidence_nodes,
+        hypothesis_nodes,
+    )
+
+    ratings = _ach_ratings(spark)
+    evidence = _ach_evidence(spark)
+    hyps = _ach_hypotheses(spark)
+    sc = ach_scores(ratings)
+    hn = hypothesis_nodes(hyps, sc).select(
+        F.lit("hyp_node").alias("kind"), "matrix_id",
+        F.col("node_id").alias("id1"), _NA_S().alias("id2"),
+        "label",
+        F.round("confidence", 6).alias("confidence"),
+        F.col("consistency_score").cast("long").alias("consistency"),
+        F.col("rank").cast("int").alias("rank_pos"),
+        "is_lead",
+        _NA_D().alias("credibility"), _NA_S().alias("evtype"),
+        _NA_S().alias("esource"), _NA_S().alias("edge_type"),
+        _NA_D().alias("strength"), _NA_S().alias("rating_value"),
+        _NA_S().alias("status"), _NA_B().alias("support"),
+        _NA_B().alias("attack"), _NA_D().alias("net"),
+    )
+    en = evidence_nodes(evidence).select(
+        F.lit("ev_node").alias("kind"), "matrix_id",
+        F.col("node_id").alias("id1"), _NA_S().alias("id2"),
+        "label", _NA_D().alias("confidence"), _NA_B().alias("consistency"),
+        _NA_I().alias("rank_pos"), F.lit(False).alias("is_lead"),
+        F.round("credibility", 6).alias("credibility"),
+        F.col("evidence_type").alias("evtype"),
+        F.col("source").alias("esource"), _NA_S().alias("edge_type"),
+        _NA_D().alias("strength"), _NA_S().alias("rating_value"),
+        _NA_S().alias("status"), _NA_B().alias("support"),
+        _NA_B().alias("attack"), _NA_D().alias("net"),
+    )
+    ed = argument_edges(ratings).select(
+        F.lit("edge").alias("kind"), "matrix_id",
+        F.col("source").alias("id1"), F.col("target").alias("id2"),
+        _NA_S().alias("label"), _NA_D().alias("confidence"),
+        _NA_B().alias("consistency"), _NA_I().alias("rank_pos"),
+        F.lit(False).alias("is_lead"), _NA_D().alias("credibility"),
+        _NA_S().alias("evtype"), _NA_S().alias("esource"),
+        "edge_type", "strength", "rating_value",
+        _NA_S().alias("status"), _NA_B().alias("support"),
+        _NA_B().alias("attack"),
+        F.round("confidence", 6).alias("net"),
+    )
+    st = argument_statuses(ratings).select(
+        F.lit("status").alias("kind"), "matrix_id",
+        F.col("node_id").alias("id1"), _NA_S().alias("id2"),
+        _NA_S().alias("label"), _NA_D().alias("confidence"),
+        _NA_B().alias("consistency"), _NA_I().alias("rank_pos"),
+        F.lit(False).alias("is_lead"), _NA_D().alias("credibility"),
+        _NA_S().alias("evtype"), _NA_S().alias("esource"),
+        _NA_S().alias("edge_type"), _NA_D().alias("strength"),
+        _NA_S().alias("rating_value"), "status",
+        F.col("support_count").cast("long").alias("support"),
+        F.col("attack_count").cast("long").alias("attack"),
+        F.round("net_score", 6).alias("net"),
+    )
+    return hn.unionByName(en).unionByName(ed).unionByName(st)
+
+
+_ACH_FIX_SQL = """
+ms AS (SELECT unnest(generate_series(0, 2)) AS m),
+hs AS (SELECT unnest(generate_series(0, 3)) AS h),
+es AS (SELECT unnest(generate_series(0, 7)) AS e),
+ratings AS (
+  SELECT 'mx' || m AS matrix_id, 'h' || h AS hypothesis_id,
+         'e' || e AS evidence_id,
+         list_extract(['++', '+', 'N', '-', '--', 'N/A'],
+                      ((m * 3 + h * 7 + e * 5) % 6 + 1)::INT) AS rating,
+         50 + (e * 7 + m) % 51 AS cred,
+         50 + (e * 11 + h) % 51 AS rel,
+         60 + ((h + e + m) % 5) * 10 AS conf
+  FROM ms, hs, es),
+ev AS (
+  SELECT 'mx' || m AS matrix_id, 'e' || e AS evidence_id,
+         repeat('d', (40 + e * 12 + m)::INT) AS description,
+         list_extract(['fact', 'document', 'testimony', 'physical'],
+                      ((e + m) % 4 + 1)::INT) AS evidence_type,
+         CASE WHEN (e + m) % 3 = 0 THEN '' ELSE 'src' || e END AS source,
+         20 + (e * 17 + m) % 81 AS ecred,
+         20 + (e * 23 + m * 7) % 81 AS erel
+  FROM ms, (SELECT unnest(generate_series(0, 8)) AS e) es9),
+hyp AS (
+  SELECT 'mx' || m AS matrix_id, 'h' || h AS hypothesis_id,
+         'Hyp h' || h || ' mx' || m AS title
+  FROM ms, hs)
+"""
+
+_ACH_SCORE_AGG_SQL = """
+  SELECT matrix_id, hypothesis_id,
+         SUM(CASE WHEN rating = 'N/A' THEN 0
+                  WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                  WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+                  ELSE -2 END) AS consistency_score,
+         SUM(CASE WHEN rating IN ('-', '--') THEN 1 ELSE 0 END)
+           AS inconsistency_count,
+         SUM(CASE WHEN rating = 'N/A' THEN 0 ELSE
+             (CASE WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                   WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+                   ELSE -2 END) * cred * rel * conf END) AS wnum,
+         SUM(CASE WHEN rating = 'N/A' THEN 0 ELSE cred * rel END) AS wden
+"""
+
+
+ORACLE_EXT3["ach_sensitivity"] = f"""
+WITH {_ACH_FIX_SQL.strip()},
+old_scored AS ({_ACH_SCORE_AGG_SQL} FROM ratings
+               GROUP BY matrix_id, hypothesis_id),
+old_ranked AS (
+  SELECT matrix_id, hypothesis_id,
+         row_number() OVER (
+           PARTITION BY matrix_id
+           ORDER BY inconsistency_count ASC,
+                    CASE WHEN wden > 0
+                         THEN wnum::DOUBLE / (wden::DOUBLE * 100.0)
+                         ELSE 0.0 END DESC,
+                    hypothesis_id ASC)::INT AS rank
+  FROM old_scored),
+unc AS (SELECT matrix_id, evidence_id FROM ev
+        WHERE ecred < 70 OR erel < 70),
+fr AS (
+  SELECT r.* FROM ratings r
+  LEFT JOIN unc u ON r.matrix_id = u.matrix_id
+                 AND r.evidence_id = u.evidence_id
+  WHERE u.evidence_id IS NULL),
+f_scored AS ({_ACH_SCORE_AGG_SQL} FROM fr
+             GROUP BY matrix_id, hypothesis_id),
+all_h AS (SELECT DISTINCT matrix_id, hypothesis_id FROM ratings),
+f_full AS (
+  SELECT a.matrix_id, a.hypothesis_id,
+         coalesce(f.inconsistency_count, 0) AS inconsistency_count,
+         coalesce(CASE WHEN f.wden > 0
+                       THEN f.wnum::DOUBLE / (f.wden::DOUBLE * 100.0)
+                       ELSE 0.0 END, 0.0) AS weighted_score
+  FROM all_h a
+  LEFT JOIN f_scored f
+    ON a.matrix_id = f.matrix_id AND a.hypothesis_id = f.hypothesis_id),
+new_ranked AS (
+  SELECT matrix_id, hypothesis_id,
+         row_number() OVER (
+           PARTITION BY matrix_id
+           ORDER BY inconsistency_count ASC, weighted_score DESC,
+                    hypothesis_id ASC)::INT AS new_rank
+  FROM f_full),
+changes AS (
+  SELECT o.matrix_id, o.hypothesis_id, o.rank AS original_rank,
+         n.new_rank, n.new_rank - o.rank AS change
+  FROM old_ranked o
+  JOIN new_ranked n
+    ON o.matrix_id = n.matrix_id AND o.hypothesis_id = n.hypothesis_id
+  WHERE o.rank != n.new_rank),
+summ AS (
+  SELECT mm.matrix_id, coalesce(u.ucnt, 0) AS ucnt,
+         CASE WHEN coalesce(u.ucnt, 0) = 0 THEN 0
+              ELSE coalesce(c.maxc, 0) END AS maxc
+  FROM (SELECT DISTINCT matrix_id FROM ev) mm
+  LEFT JOIN (SELECT matrix_id, count(*) AS ucnt FROM unc
+             GROUP BY 1) u ON mm.matrix_id = u.matrix_id
+  LEFT JOIN (SELECT matrix_id, max(abs(change)) AS maxc FROM changes
+             GROUP BY 1) c ON mm.matrix_id = c.matrix_id)
+SELECT 'change' AS kind, matrix_id, hypothesis_id,
+       original_rank::INT AS original_rank, new_rank::INT AS new_rank,
+       change::INT AS change, '<na>' AS sensitivity,
+       -424242::BIGINT AS uncertain_count, -424242::INT AS max_rank_change
+FROM changes
+UNION ALL
+SELECT 'summary', matrix_id, '<na>', -424242::INT, -424242::INT,
+       -424242::INT,
+       CASE WHEN maxc = 0 THEN 'low' WHEN maxc = 1 THEN 'moderate'
+            ELSE 'high' END,
+       ucnt::BIGINT, maxc::INT
+FROM summ
+"""
+
+
+ORACLE_EXT3["ach_evidence"] = f"""
+WITH {_ACH_FIX_SQL.strip()},
+q AS (
+  SELECT matrix_id, evidence_id,
+         ecred + erel
+         + (CASE WHEN ecred >= 80 THEN 80 ELSE 0 END)
+         + (CASE WHEN erel >= 80 THEN 80 ELSE 0 END)
+         + (CASE WHEN trim(source) != '' THEN 40 ELSE 0 END) AS f400,
+         concat_ws('|',
+           CASE WHEN ecred < 30
+                THEN 'Very low credibility - consider verifying source'
+                END,
+           CASE WHEN erel < 30 THEN 'Low relevance to hypotheses' END
+         ) AS issues,
+         concat_ws('|',
+           CASE WHEN ecred >= 30 AND ecred < 50
+                THEN 'Low credibility - use caution in analysis' END,
+           CASE WHEN erel >= 30 AND erel < 50
+                THEN 'Moderate relevance - may be tangential' END,
+           CASE WHEN trim(source) = ''
+                THEN 'No source provided - consider documenting' END
+         ) AS warnings
+  FROM ev),
+pres AS (SELECT matrix_id, list(DISTINCT evidence_type) AS types
+         FROM ev GROUP BY 1),
+cov AS (
+  SELECT r.matrix_id, r.hypothesis_id,
+         SUM(CASE WHEN r.rating != 'N/A' THEN 1 ELSE 0 END) AS n_sub
+  FROM ratings r GROUP BY 1, 2),
+gap_cov AS (
+  SELECT matrix_id, 'hypothesis_coverage' AS gap_type,
+         hypothesis_id AS ref_id,
+         CASE WHEN n_sub = 0 THEN 'high' ELSE 'medium' END AS severity,
+         n_sub::VARCHAR AS detail
+  FROM cov WHERE n_sub < 3),
+gap_div AS (
+  SELECT matrix_id, 'evidence_diversity' AS gap_type, '' AS ref_id,
+         'low' AS severity,
+         array_to_string(list_sort(list_filter(
+           ['fact', 'testimony', 'document', 'physical',
+            'circumstantial', 'inference'],
+           t -> NOT list_contains(types, t))), '|') AS detail
+  FROM pres
+  WHERE len(list_filter(
+          ['fact', 'testimony', 'document', 'physical',
+           'circumstantial', 'inference'],
+          t -> NOT list_contains(types, t))) > 0),
+gap_unr AS (
+  SELECT e.matrix_id, 'unrated_evidence' AS gap_type,
+         e.evidence_id AS ref_id, 'medium' AS severity, '' AS detail
+  FROM ev e
+  LEFT JOIN (SELECT DISTINCT matrix_id, evidence_id FROM ratings) r
+    ON e.matrix_id = r.matrix_id AND e.evidence_id = r.evidence_id
+  WHERE r.evidence_id IS NULL),
+gap_q AS (
+  SELECT matrix_id, 'quality_concern' AS gap_type, '' AS ref_id,
+         'high' AS severity,
+         n_low::VARCHAR || '/' || n_total::VARCHAR AS detail
+  FROM (SELECT matrix_id,
+               SUM(CASE WHEN ecred < 50 OR erel < 50 THEN 1 ELSE 0 END)
+                 AS n_low,
+               COUNT(*) AS n_total
+        FROM ev GROUP BY 1)
+  WHERE n_low * 10 > n_total * 3),
+gaps AS (SELECT * FROM gap_cov UNION ALL SELECT * FROM gap_div
+         UNION ALL SELECT * FROM gap_unr UNION ALL SELECT * FROM gap_q),
+cmp AS (
+  SELECT a.matrix_id, a.evidence_id AS id1, b.evidence_id AS id2,
+         SUM(CASE WHEN a.rating = b.rating THEN 1 ELSE 0 END) AS agree,
+         SUM(CASE WHEN a.rating != b.rating THEN 1 ELSE 0 END)
+           AS disagree
+  FROM ratings a
+  JOIN ratings b ON a.matrix_id = b.matrix_id
+                AND a.hypothesis_id = b.hypothesis_id
+                AND a.evidence_id < b.evidence_id
+  GROUP BY 1, 2, 3),
+sug_base AS (
+  SELECT h.matrix_id, h.hypothesis_id, h.title,
+         MAX(CASE WHEN r.rating IN ('++', '+') THEN 1 ELSE 0 END)
+           AS has_pos,
+         MAX(CASE WHEN r.rating IN ('--', '-') THEN 1 ELSE 0 END)
+           AS has_neg,
+         COUNT(r.rating) AS nr
+  FROM hyp h
+  LEFT JOIN ratings r ON h.matrix_id = r.matrix_id
+                     AND h.hypothesis_id = r.hypothesis_id
+  GROUP BY 1, 2, 3),
+sug_list AS (
+  SELECT b.matrix_id, b.hypothesis_id,
+         (list_filter([
+           CASE WHEN NOT list_contains(p.types, 'document')
+                THEN 'Look for documents that support or refute ''' ||
+                     b.title || '''' END,
+           CASE WHEN NOT list_contains(p.types, 'testimony')
+                THEN 'Seek witness testimony regarding ''' || b.title ||
+                     '''' END,
+           CASE WHEN NOT list_contains(p.types, 'physical')
+                THEN 'Examine physical evidence related to ''' ||
+                     b.title || '''' END,
+           CASE WHEN NOT list_contains(p.types, 'circumstantial')
+                THEN 'Consider circumstantial evidence surrounding ''' ||
+                     b.title || '''' END,
+           CASE WHEN b.has_pos = 1 AND b.has_neg = 1
+                THEN 'Conflicting evidence exists - seek additional ' ||
+                     'evidence to clarify ''' || b.title || '''' END,
+           CASE WHEN b.nr < 3
+                THEN 'Limited evidence for ''' || b.title ||
+                     ''' - conduct broader information gathering' END
+         ], x -> x IS NOT NULL))[1:5] AS l
+  FROM sug_base b JOIN pres p ON b.matrix_id = p.matrix_id),
+sug AS (
+  SELECT matrix_id, hypothesis_id, (i - 1)::INT AS sugg_idx,
+         l[i::INT] AS suggestion
+  FROM sug_list, unnest(generate_series(1, len(l))) AS t(i))
+SELECT 'quality' AS kind, matrix_id, evidence_id AS id1, '<na>' AS id2,
+       round(f400::DOUBLE / 400.0, 6) AS q_score,
+       CASE WHEN f400 >= 320 THEN 'high' WHEN f400 >= 200 THEN 'medium'
+            ELSE 'low' END AS q_level,
+       issues, warnings, '<na>' AS severity, '<na>' AS detail,
+       -424242::BIGINT AS agree, -424242::BIGINT AS disagree,
+       -424242::INT AS sugg_idx, '<na>' AS suggestion
+FROM q
+UNION ALL
+SELECT 'gap', matrix_id, ref_id, '<na>', -424242.0::DOUBLE, '<na>',
+       '<na>', '<na>', severity, gap_type, -424242::BIGINT,
+       -424242::BIGINT, -424242::INT, detail
+FROM gaps
+UNION ALL
+SELECT 'compare', matrix_id, id1, id2, -424242.0::DOUBLE, '<na>', '<na>',
+       '<na>', '<na>', '<na>', agree::BIGINT, disagree::BIGINT,
+       -424242::INT, '<na>'
+FROM cmp
+UNION ALL
+SELECT 'suggest', matrix_id, hypothesis_id, '<na>', -424242.0::DOUBLE,
+       '<na>', '<na>', '<na>', '<na>', '<na>', -424242::BIGINT,
+       -424242::BIGINT, sugg_idx, suggestion
+FROM sug
+"""
+
+
+ORACLE_EXT3["ach_argumentation"] = f"""
+WITH {_ACH_FIX_SQL.strip()},
+scored AS ({_ACH_SCORE_AGG_SQL},
+         COUNT(*) AS evidence_count
+  FROM ratings GROUP BY matrix_id, hypothesis_id),
+finals AS (
+  SELECT matrix_id, hypothesis_id, consistency_score,
+         inconsistency_count,
+         CASE WHEN wden > 0 THEN wnum::DOUBLE / (wden::DOUBLE * 100.0)
+              ELSE 0.0 END AS weighted_score,
+         CASE WHEN wden > 0
+              THEN (wnum::DOUBLE / (wden::DOUBLE * 100.0) + 2.0)
+                   / 4.0 * 100.0
+              ELSE 50.0 END AS normalized_score
+  FROM scored),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY matrix_id
+           ORDER BY inconsistency_count ASC, weighted_score DESC,
+                    hypothesis_id ASC)::INT AS rank
+  FROM finals),
+hn AS (
+  SELECT h.matrix_id, 'hyp_' || h.hypothesis_id AS id1, h.title AS label,
+         round(f.normalized_score, 6) AS confidence,
+         f.consistency_score, f.rank,
+         f.rank = MIN(f.rank) OVER (PARTITION BY f.matrix_id) AS is_lead
+  FROM hyp h
+  JOIN ranked f ON h.matrix_id = f.matrix_id
+               AND h.hypothesis_id = f.hypothesis_id),
+en AS (
+  SELECT matrix_id, 'ev_' || evidence_id AS id1,
+         CASE WHEN len(description) > 100
+              THEN substr(description, 1, 100) || '...'
+              ELSE description END AS label,
+         round(ecred::DOUBLE / 100.0, 6) AS credibility,
+         evidence_type, source
+  FROM ev),
+edges AS (
+  SELECT matrix_id, 'ev_' || evidence_id AS id1,
+         'hyp_' || hypothesis_id AS id2,
+         CASE WHEN rating IN ('++', '+') THEN 'supports'
+              WHEN rating IN ('-', '--') THEN 'attacks'
+              ELSE 'neutral' END AS edge_type,
+         (CASE WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+               WHEN rating = 'N' THEN 0 WHEN rating = '-' THEN -1
+               ELSE -2 END)::DOUBLE AS strength,
+         rating AS rating_value,
+         round(conf::DOUBLE / 100.0, 6) AS e_conf
+  FROM ratings WHERE rating != 'N/A'),
+st AS (
+  SELECT matrix_id, 'hyp_' || hypothesis_id AS id1,
+         SUM(CASE WHEN rating IN ('++', '+') THEN 1 ELSE 0 END)
+           AS support,
+         SUM(CASE WHEN rating IN ('-', '--') THEN 1 ELSE 0 END)
+           AS attack,
+         SUM(CASE WHEN rating = 'N/A' OR rating = 'N' THEN 0 ELSE
+             (CASE WHEN rating = '++' THEN 2 WHEN rating = '+' THEN 1
+                   WHEN rating = '-' THEN -1 ELSE -2 END) * conf END)
+           AS net_centi
+  FROM ratings GROUP BY 1, 2),
+sts AS (
+  SELECT matrix_id, id1, support, attack,
+         net_centi::DOUBLE / 100.0 AS net,
+         CASE WHEN attack = 0 AND support > 0 THEN 'accepted'
+              WHEN support = 0 AND attack > 0 THEN 'rejected'
+              WHEN net_centi::DOUBLE / 100.0 > 1.0 THEN 'accepted'
+              WHEN net_centi::DOUBLE / 100.0 < -1.0 THEN 'rejected'
+              ELSE 'undecided' END AS status
+  FROM st)
+SELECT 'hyp_node' AS kind, matrix_id, id1, '<na>' AS id2, label,
+       confidence, consistency_score::BIGINT AS consistency,
+       rank AS rank_pos, is_lead, -424242.0::DOUBLE AS credibility,
+       '<na>' AS evtype, '<na>' AS esource, '<na>' AS edge_type,
+       -424242.0::DOUBLE AS strength, '<na>' AS rating_value,
+       '<na>' AS status, -424242::BIGINT AS support,
+       -424242::BIGINT AS attack, -424242.0::DOUBLE AS net
+FROM hn
+UNION ALL
+SELECT 'ev_node', matrix_id, id1, '<na>', label, -424242.0::DOUBLE,
+       -424242::BIGINT, -424242::INT, false, credibility, evidence_type,
+       source, '<na>', -424242.0::DOUBLE, '<na>', '<na>',
+       -424242::BIGINT, -424242::BIGINT, -424242.0::DOUBLE
+FROM en
+UNION ALL
+SELECT 'edge', matrix_id, id1, id2, '<na>', -424242.0::DOUBLE,
+       -424242::BIGINT, -424242::INT, false, -424242.0::DOUBLE, '<na>',
+       '<na>', edge_type, strength, rating_value, '<na>',
+       -424242::BIGINT, -424242::BIGINT, e_conf
+FROM edges
+UNION ALL
+SELECT 'status', matrix_id, id1, '<na>', '<na>', -424242.0::DOUBLE,
+       -424242::BIGINT, -424242::INT, false, -424242.0::DOUBLE, '<na>',
+       '<na>', '<na>', -424242.0::DOUBLE, '<na>', status,
+       support::BIGINT, attack::BIGINT, round(net, 6)
+FROM sts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sankey flow analysis (graph/flows.py:47-457) over the co-mention graph:
+# entity-type layered flows, type-aggregated relationship flows, and the
+# small-flow "Other" rollup — entity/relationship types derived
+# deterministically from the co-mention names so both engines type the
+# same graph.
+# ---------------------------------------------------------------------------
+
+_FLOW_NTYPES = ["person", "organization", "location", "event"]
+_FLOW_RTYPES = ["works_for", "located_in", "mentioned_with"]
+
+
+def q_graph_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.flows import (
+        aggregate_flows, extract_entity_flows, extract_relationship_flows,
+    )
+    from .queries import q_comention_edges
+
+    edges0 = q_comention_edges(spark, sf_dir).localCheckpoint(eager=True)
+    names = (
+        edges0.select(F.col("entity_a").alias("id"))
+        .unionByName(edges0.select(F.col("entity_b").alias("id")))
+        .distinct()
+    )
+    ntype = F.element_at(
+        F.array(*[F.lit(t) for t in _FLOW_NTYPES]),
+        ((F.length("id") * 7 + F.ascii("id")) % 4 + 1).cast("int"),
+    )
+    nodes = names.select(
+        "id", F.col("id").alias("label"), ntype.alias("entity_type")
+    )
+    rtype = F.element_at(
+        F.array(*[F.lit(t) for t in _FLOW_RTYPES]),
+        (F.col("co_occurrence_count") % 3 + 1).cast("int"),
+    )
+    edges = edges0.select(
+        F.col("entity_a").alias("source"),
+        F.col("entity_b").alias("target"),
+        rtype.alias("relationship_type"),
+        F.col("co_occurrence_count").cast("double").alias("weight"),
+    )
+    fn, fl, stats = extract_entity_flows(
+        nodes, edges, source_types=["person"],
+        target_types=["location", "event"],
+        intermediate_types=["organization"],
+    )
+    an, al = aggregate_flows(fn, fl, min_value=3.0, max_links=25)
+    _, rl, _ = extract_relationship_flows(
+        nodes, edges, aggregate_by_type=True
+    )
+
+    def _node_rows(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), F.col("id").alias("id1"),
+            _NA_S().alias("id2"), F.round("value", 6).alias("value"),
+            _NA_S().alias("category"),
+            F.col("layer").cast("long").alias("layer"),
+            "label", F.col("entity_type").alias("etype"),
+            _NA_D().alias("total"), _NA_B().alias("layer_count"),
+        )
+
+    def _link_rows(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), F.col("source").alias("id1"),
+            F.col("target").alias("id2"),
+            F.round("value", 6).alias("value"), "category",
+            _NA_B().alias("layer"), _NA_S().alias("label"),
+            _NA_S().alias("etype"), _NA_D().alias("total"),
+            _NA_B().alias("layer_count"),
+        )
+
+    st = stats.select(
+        F.lit("stats").alias("kind"), _NA_S().alias("id1"),
+        _NA_S().alias("id2"), _NA_D().alias("value"),
+        _NA_S().alias("category"), _NA_B().alias("layer"),
+        _NA_S().alias("label"), _NA_S().alias("etype"),
+        F.round("total_flow", 6).alias("total"),
+        F.col("layer_count").cast("long").alias("layer_count"),
+    )
+    return (
+        _node_rows(fn, "enode")
+        .unionByName(_link_rows(fl, "eflow"))
+        .unionByName(_node_rows(an, "agg_node"))
+        .unionByName(_link_rows(al, "agg_link"))
+        .unionByName(_link_rows(rl, "rflow"))
+        .unionByName(st)
+    )
+
+
+def _graph_flows_oracle() -> str:
+    from .queries import ORACLE_SQL as _BASE
+
+    return f"""
+WITH edges0 AS ({_BASE["comention_edges"]}),
+names AS (
+  SELECT DISTINCT name FROM (
+    SELECT entity_a AS name FROM edges0
+    UNION ALL SELECT entity_b FROM edges0)),
+nodes AS (
+  SELECT name AS id,
+         list_extract(['person', 'organization', 'location', 'event'],
+                      ((length(name) * 7 + ascii(name)) % 4 + 1)::INT)
+           AS entity_type
+  FROM names),
+edges AS (
+  SELECT entity_a AS source, entity_b AS target,
+         list_extract(['works_for', 'located_in', 'mentioned_with'],
+                      (co_occurrence_count % 3 + 1)::INT) AS category,
+         co_occurrence_count::DOUBLE AS weight
+  FROM edges0),
+layered AS (
+  SELECT id, CASE WHEN entity_type = 'person' THEN 0
+                  WHEN entity_type IN ('location', 'event') THEN 2
+                  WHEN entity_type = 'organization' THEN 1
+             END AS layer
+  FROM nodes WHERE entity_type IN
+    ('person', 'organization', 'location', 'event')),
+eflow AS (
+  SELECT CASE WHEN s.layer > t.layer THEN e.target ELSE e.source END
+           AS source,
+         CASE WHEN s.layer > t.layer THEN e.source ELSE e.target END
+           AS target,
+         e.weight AS value, e.category
+  FROM edges e
+  JOIN layered s ON e.source = s.id
+  JOIN layered t ON e.target = t.id
+  WHERE s.layer != t.layer),
+enode AS (
+  SELECT n.id, n.id AS label, n.entity_type, l.layer, v.value
+  FROM (SELECT id, SUM(value) AS value FROM (
+          SELECT source AS id, value FROM eflow
+          UNION ALL SELECT target, value FROM eflow)
+        GROUP BY id) v
+  JOIN nodes n ON v.id = n.id
+  JOIN layered l ON v.id = l.id),
+stats AS (
+  SELECT coalesce((SELECT SUM(value) FROM eflow), 0.0) AS total_flow,
+         coalesce((SELECT MAX(layer) FROM enode), 0) + 1 AS layer_count),
+ranked AS (
+  SELECT *, row_number() OVER (
+      ORDER BY value DESC, source ASC, target ASC, category ASC) AS rnk
+  FROM eflow),
+kept AS (SELECT * FROM ranked WHERE rnk <= 25 AND value >= 3.0),
+dropped AS (
+  SELECT d.*, coalesce(ls.layer, 0) AS slayer,
+         coalesce(lt.layer, 1) AS tlayer
+  FROM (SELECT * FROM ranked WHERE NOT (rnk <= 25 AND value >= 3.0)) d
+  LEFT JOIN (SELECT id, layer FROM enode) ls ON d.source = ls.id
+  LEFT JOIN (SELECT id, layer FROM enode) lt ON d.target = lt.id),
+pairs AS (
+  SELECT slayer, tlayer, SUM(value) AS value, MIN(rnk) AS first_rank
+  FROM dropped GROUP BY 1, 2 HAVING SUM(value) > 0),
+other_links AS (
+  SELECT 'other_layer_' || slayer AS source,
+         'other_layer_' || tlayer AS target, value,
+         'aggregated' AS category
+  FROM pairs),
+other_nodes AS (
+  SELECT 'other_layer_' || layer AS id, 'Other' AS label,
+         'other' AS entity_type, layer, value
+  FROM (SELECT layer, value, first_rank,
+               row_number() OVER (PARTITION BY layer
+                                  ORDER BY first_rank ASC) AS rn
+        FROM (SELECT slayer AS layer, value, first_rank FROM pairs
+              UNION ALL
+              SELECT tlayer, value, first_rank FROM pairs))
+  WHERE rn = 1),
+agg_nodes AS (
+  SELECT e.* FROM enode e
+  WHERE e.id IN (SELECT source FROM kept UNION SELECT target FROM kept)
+  UNION ALL SELECT * FROM other_nodes),
+agg_links AS (
+  SELECT source, target, value, category FROM kept
+  UNION ALL SELECT * FROM other_links),
+rflow AS (
+  SELECT 'type_' || sn.entity_type AS source,
+         'type_' || tn.entity_type AS target,
+         SUM(e.weight) AS value, e.category
+  FROM edges e
+  JOIN nodes sn ON e.source = sn.id
+  JOIN nodes tn ON e.target = tn.id
+  GROUP BY sn.entity_type, tn.entity_type, e.category)
+SELECT 'enode' AS kind, id AS id1, '<na>' AS id2,
+       round(value, 6) AS value, '<na>' AS category,
+       layer::BIGINT AS layer, label, entity_type AS etype,
+       -424242.0::DOUBLE AS total, -424242::BIGINT AS layer_count
+FROM enode
+UNION ALL
+SELECT 'eflow', source, target, round(value, 6), category,
+       -424242::BIGINT, '<na>', '<na>', -424242.0::DOUBLE,
+       -424242::BIGINT
+FROM eflow
+UNION ALL
+SELECT 'agg_node', id, '<na>', round(value, 6), '<na>', layer::BIGINT,
+       label, entity_type, -424242.0::DOUBLE, -424242::BIGINT
+FROM agg_nodes
+UNION ALL
+SELECT 'agg_link', source, target, round(value, 6), category,
+       -424242::BIGINT, '<na>', '<na>', -424242.0::DOUBLE,
+       -424242::BIGINT
+FROM agg_links
+UNION ALL
+SELECT 'rflow', source, target, round(value, 6), category,
+       -424242::BIGINT, '<na>', '<na>', -424242.0::DOUBLE,
+       -424242::BIGINT
+FROM rflow
+UNION ALL
+SELECT 'stats', '<na>', '<na>', -424242.0::DOUBLE, '<na>',
+       -424242::BIGINT, '<na>', '<na>', round(total_flow, 6),
+       layer_count::BIGINT
+FROM stats
+"""
+
+
+QUERIES_EXT3["graph_flows"] = q_graph_flows
+ORACLE_EXT3["graph_flows"] = _graph_flows_oracle()
