@@ -121,9 +121,10 @@ def content_anomalies(
     vec_col: str = "embedding",
     threshold: float = 3.0,
     min_cluster_distance: float = 0.7,
-    nn_mode: str = "brute",
+    nn_mode: str = "auto",
     bands: int = 8,
     rows_per_band: int | None = None,
+    auto_brute_max: int = 8192,
 ) -> DataFrame:
     """A1 detect_content_anomalies, reference-FAITHFUL port
     (detector.py:64-137): for each document, cosine distances to every
@@ -141,7 +142,16 @@ def content_anomalies(
         E[cos²](d) = (d̂ᵀGd̂ − 1)/(n−1),  Var = E[cos²] − mean²
     — the −1 terms remove self. Only the MIN distance (max cosine) is a
     true neighbor query; it reuses the brute top-1 here and the
-    similarity module's LSH/IVF lanes at scale."""
+    similarity module's LSH/IVF lanes at scale.
+
+    ``nn_mode="auto"`` (the default, mirroring the auto-R precedent)
+    picks "brute" (exact all-pairs top-1, the oracle lane) when the
+    corpus has at most ``auto_brute_max`` vectors (8192 ≈ 67M pair
+    evaluations, fine on one executor wave) and "banded" (hyperplane-LSH
+    candidates, conservative error direction — isolation can only be
+    over-reported) above it, so a 100-TB caller gets the sublinear lane
+    without remembering to flip the flag. The moments arm is
+    mode-independent either way."""
     v = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -156,6 +166,8 @@ def content_anomalies(
     n = u.count()
     if n < 2:
         raise ValueError("content_anomalies needs at least 2 vectors")
+    if nn_mode == "auto":
+        nn_mode = "brute" if n <= auto_brute_max else "banded"
 
     comp = u.select("_id", F.posexplode("u").alias("i", "x"))
     s_vec = comp.groupBy("i").agg(F.sum("x").alias("s"))

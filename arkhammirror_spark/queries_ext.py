@@ -100,12 +100,15 @@ _CAPPED_FOOTER = " common boilerplate footer shared"
 
 def q_neardup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df-cap gate needs the planted hot shingle, not the whole corpus:
-    # doc_id < 30000 bounds this part at large SF (covers all of sf<=0.01
-    # and half of sf0.1) so the ENTRY doesn't pay the brute join twice —
-    # the uncapped part above stays full-corpus as the honest oracle lane
+    # doc_id < 1500 bounds this part at large SF (covers ALL of sf<=0.01
+    # — 500 docs — and 30% of sf0.1) so the ENTRY doesn't pay the brute
+    # O(shared-shingle^2) join twice; the uncapped part above stays
+    # full-corpus as the honest oracle lane. The cap property being
+    # gated (hot shingles dropped from candidate generation, exact over
+    # the df-filtered universe) is id-independent.
     docs = (
         _neardup_docs(spark, sf_dir)
-        .where(F.col("doc_id") < 30000)
+        .where(F.col("doc_id") < 1500)
         .select(
             "doc_id",
             F.concat(F.col("text"), F.lit(_CAPPED_FOOTER)).alias("text"),
@@ -121,7 +124,7 @@ WITH nd AS (
                 || ' common boilerplate footer shared' AS text
   FROM documents d
   JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10
-  WHERE d.doc_id < 30000
+  WHERE d.doc_id < 1500
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(

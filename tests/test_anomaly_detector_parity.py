@@ -354,3 +354,41 @@ def test_content_anomalies_banded_mode(ref, spark):
         )
         # banded min_dist can only be >= brute (missed candidates)
         assert banded[k]["min_dist"] >= brute[k]["min_dist"] - 1e-12
+
+
+def test_content_anomalies_auto_mode_switch(ref, spark):
+    """nn_mode='auto' (the default) must equal the explicit brute lane
+    at-or-below auto_brute_max and the explicit banded lane above it —
+    same rows, same values, threshold inclusive on the brute side."""
+    import numpy as np
+
+    from arkhammirror_spark.operators.anomalies import content_anomalies
+
+    rng = np.random.RandomState(31)
+    base = rng.randn(12)
+    vecs = [base + 0.05 * rng.randn(12) for _ in range(18)]
+    w = rng.randn(12)
+    w -= w.dot(base) / base.dot(base) * base
+    vecs.append(w * 2)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(**kw):
+        return sorted(
+            (r["vec_id"], round(r["min_dist"], 9), round(r["z_score"], 9),
+             r["severity"])
+            for r in content_anomalies(
+                emb, min_cluster_distance=0.5, **kw
+            ).collect()
+        )
+
+    # n = 19 <= auto_brute_max=19 -> brute (inclusive boundary)
+    assert rows(nn_mode="auto", auto_brute_max=19) == rows(nn_mode="brute")
+    # n = 19 > auto_brute_max=18 -> banded
+    assert rows(
+        nn_mode="auto", auto_brute_max=18, bands=8, rows_per_band=3
+    ) == rows(nn_mode="banded", bands=8, rows_per_band=3)
+    # the shipped default (auto, 8192) is the brute lane at fixture scale
+    assert rows() == rows(nn_mode="brute")
