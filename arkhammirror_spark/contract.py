@@ -124,14 +124,17 @@ MERGES: dict[str, tuple[list, list]] = {
     ),
     "graph_node_labels": (
         [("name", _S), ("label", _S), ("size", _B), ("gkind", _S),
-         ("lat", _D), ("lng", _D), ("km", _D)],
+         ("lat", _D), ("lng", _D), ("km", _D), ("payload", _S)],
         [("components", "graph_components",
           {"name": "name", "label": "component"}),
          ("communities", "graph_communities",
           {"name": "community", "size": "size"}),
          ("geo", "geo_analysis",
           {"gkind": "gkind", "name": "name", "label": "label",
-           "size": "size", "lat": "lat", "lng": "lng", "km": "km"})],
+           "size": "size", "lat": "lat", "lng": "lng", "km": "km"}),
+         ("export_filter", "graph_export_filter",
+          {"gkind": "kind", "name": "id1", "label": "id2", "size": "n",
+           "km": "w", "payload": "payload"})],
     ),
     "graph_centrality": (
         [("node", _S), ("score", _D), ("rank_pos", _I),

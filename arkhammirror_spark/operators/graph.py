@@ -610,3 +610,56 @@ def connected_components_distributed(
             f"raise max_iterations or pass require_convergence=False"
         )
     return labels
+
+
+def filter_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entity_types: list[str] | None = None,
+    min_degree: int | None = None,
+    min_edge_weight: float | None = None,
+    relationship_types: list[str] | None = None,
+    document_ids: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-criteria graph filter (builder.py:458-547), frame-native.
+
+    Reference order preserved: node filters run against the STORED
+    degree (pre-filter), edges keep only pairs whose BOTH endpoints
+    survive, then weight / relationship-type / document-id (any-overlap)
+    filters, then degrees are recomputed over the filtered edges and
+    isolated nodes dropped. nodes: (id, label, entity_type, degree[,
+    ...]); edges: (source, target, relationship_type, weight[,
+    document_ids array<string>, ...]). Every step is a column filter or
+    an equi-join on the node id — no collect, holds at any graph size.
+    Returns (filtered_nodes_with_recomputed_degree, filtered_edges)."""
+    n = nodes
+    if entity_types:
+        n = n.where(F.col("entity_type").isin(*entity_types))
+    if min_degree is not None:
+        n = n.where(F.col("degree") >= min_degree)
+    kept_ids = n.select(F.col("id").alias("_kid"))
+    e = (
+        edges.join(kept_ids, edges["source"] == F.col("_kid")).drop("_kid")
+        .join(kept_ids, edges["target"] == F.col("_kid")).drop("_kid")
+    )
+    if min_edge_weight is not None:
+        e = e.where(F.col("weight") >= min_edge_weight)
+    if relationship_types:
+        e = e.where(F.col("relationship_type").isin(*relationship_types))
+    if document_ids and "document_ids" in edges.columns:
+        e = e.where(
+            F.arrays_overlap(
+                F.col("document_ids"),
+                F.array(*[F.lit(d) for d in document_ids]),
+            )
+        )
+    ends = e.select(F.col("source").alias("id")).unionAll(
+        e.select(F.col("target").alias("id"))
+    )
+    new_deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("_deg"))
+    out_nodes = (
+        n.drop("degree")
+        .join(new_deg, "id")  # inner join drops isolated nodes
+        .withColumnRenamed("_deg", "degree")
+    )
+    return out_nodes, e

@@ -92,10 +92,15 @@ _MENTIONS_SCHEMA = StructType(
 )
 
 
-def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id", _cased_spark(F.col("text")).alias("t")
-    )
+def _mentions_df(
+    spark: SparkSession, sf_dir: str, docs_where=None
+) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    if docs_where is not None:
+        # applied BEFORE the Python NER pass so the predicate reaches the
+        # parquet scan and bounds the mapInPandas work, not just its output
+        docs = docs.where(docs_where)
+    docs = docs.select("doc_id", _cased_spark(F.col("text")).alias("t"))
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

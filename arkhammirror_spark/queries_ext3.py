@@ -3705,13 +3705,35 @@ _FLOW_NTYPES = ["person", "organization", "location", "event"]
 _FLOW_RTYPES = ["works_for", "located_in", "mentioned_with"]
 
 
+def _flows_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-mention edges over a third of the corpus (doc_id % 3 == 0):
+    the flow semantics are corpus-size-independent and the full-corpus
+    comention lane is already gated by `comention_edges`, so this part
+    doesn't pay the Python NER pass twice over everything."""
+    from .operators.edges import comention_edges
+    from .operators.entities import filter_valid_mentions
+    from .queries import _mentions_df
+
+    m = _mentions_df(
+        spark, sf_dir, docs_where=F.col("doc_id") % 3 == 0
+    ).select(
+        F.col("doc_id"),
+        F.col("entity_text").alias("text"),
+        F.lit("PERSON").alias("entity_type"),
+    )
+    valid = filter_valid_mentions(m)
+    return comention_edges(
+        valid, doc_col="doc_id", min_count=2, limit=1000,
+        include_doc_ids=False,
+    ).select("entity_a", "entity_b", "co_occurrence_count", "weight")
+
+
 def q_graph_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.flows import (
         aggregate_flows, extract_entity_flows, extract_relationship_flows,
     )
-    from .queries import q_comention_edges
 
-    edges0 = q_comention_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges0 = _flows_comention(spark, sf_dir).localCheckpoint(eager=True)
     names = (
         edges0.select(F.col("entity_a").alias("id"))
         .unionByName(edges0.select(F.col("entity_b").alias("id")))
@@ -3785,8 +3807,17 @@ def q_graph_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graph_flows_oracle() -> str:
     from .queries import ORACLE_SQL as _BASE
 
+    comention = _BASE["comention_edges"]
+    # mirror the doc_id % 3 bound of _flows_comention (the comention SQL
+    # reads `documents` exactly once, in its cased CTE)
+    assert comention.count("FROM documents") == 1
+    comention = comention.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0) documents",
+    )
+
     return f"""
-WITH edges0 AS ({_BASE["comention_edges"]}),
+WITH edges0 AS ({comention}),
 names AS (
   SELECT DISTINCT name FROM (
     SELECT entity_a AS name FROM edges0
@@ -3909,3 +3940,155 @@ FROM stats
 
 QUERIES_EXT3["graph_flows"] = q_graph_flows
 ORACLE_EXT3["graph_flows"] = _graph_flows_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Graph filter + export sinks (graph/builder.py:458-547,
+# graph/exporter.py:24-265) over a pinned literal graph — export hashes
+# are corpus-independent, so both arms gate at every SF identically.
+# ---------------------------------------------------------------------------
+
+_GF_NODES = [
+    ("n0", "Node 0", "organization", 2), ("n1", "Node 1", "person", 6),
+    ("n2", "Node 2", "location", 3), ("n3", "Node 3", "organization", 7),
+    ("n4", "Node 4", "person", 3), ("n5", "Node 5", "location", 3),
+    ("n6", "Node 6", "organization", 1), ("n7", "Node 7", "person", 4),
+    ("n8", "Node 8", "location", 7), ("n9", "Node 9", "organization", 2),
+    ("n10", "Node 10", "person", 2), ("n11", "Node 11", "location", 3),
+    ("n12", "Node 12", "organization", 3), ("n13", "Node 13", "person", 6),
+]
+_GF_EDGES = [
+    ("n12", "n4", "located_in", 5.0), ("n5", "n3", "works_for", 0.5),
+    ("n3", "n13", "located_in", 6.0), ("n13", "n1", "located_in", 0.5),
+    ("n4", "n7", "located_in", 2.0), ("n8", "n9", "works_for", 1.5),
+    ("n3", "n2", "mentioned_with", 5.0), ("n8", "n10", "located_in", 7.0),
+    ("n10", "n8", "mentioned_with", 3.0), ("n0", "n4", "located_in", 5.5),
+    ("n0", "n7", "located_in", 5.0), ("n2", "n12", "works_for", 5.5),
+    ("n13", "n3", "works_for", 3.0), ("n8", "n6", "works_for", 2.0),
+    ("n2", "n5", "mentioned_with", 1.0), ("n5", "n1", "located_in", 6.5),
+    ("n1", "n8", "mentioned_with", 5.5), ("n8", "n7", "located_in", 7.5),
+    ("n3", "n1", "located_in", 8.0), ("n1", "n3", "works_for", 3.5),
+    ("n11", "n8", "mentioned_with", 6.5), ("n7", "n9", "works_for", 6.5),
+    ("n1", "n13", "located_in", 7.5), ("n13", "n12", "works_for", 1.5),
+    ("n11", "n13", "located_in", 8.5), ("n3", "n11", "mentioned_with", 3.5),
+]
+
+
+def _gf_frames(spark: SparkSession):
+    nodes = spark.createDataFrame(
+        _GF_NODES, "id string, label string, entity_type string, degree int"
+    )
+    edges = spark.createDataFrame(
+        _GF_EDGES,
+        "source string, target string, relationship_type string, "
+        "weight double",
+    )
+    return nodes, edges
+
+
+@register("graph_export_filter", None)  # oracle below
+def q_graph_export_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_graph (multi-criteria, stored-degree semantics, degree
+    recompute, isolated-node drop) + the three export serializers hashed
+    over the filtered graph."""
+    import hashlib
+
+    from .operators.graph import filter_graph
+    from .operators.graph_export import (
+        export_gexf, export_graphml, export_json,
+    )
+
+    nodes, edges = _gf_frames(spark)
+    fn, fe = filter_graph(
+        nodes, edges,
+        entity_types=["person", "organization"],
+        min_degree=2,
+        min_edge_weight=2.0,
+        relationship_types=["works_for", "mentioned_with"],
+    )
+    fn = fn.orderBy("id").localCheckpoint(eager=True)
+    fe = fe.orderBy("source", "target").localCheckpoint(eager=True)
+    node_rows = fn.select(
+        F.lit("fnode").alias("kind"), F.col("id").alias("id1"),
+        _NA_S().alias("id2"),
+        F.col("degree").cast("long").alias("n"),
+        _NA_D().alias("w"), _NA_S().alias("payload"),
+    )
+    edge_rows = fe.select(
+        F.lit("fedge").alias("kind"), F.col("source").alias("id1"),
+        F.col("target").alias("id2"), _NA_B().alias("n"),
+        F.col("weight").alias("w"), F.col("relationship_type").alias("payload"),
+    )
+    exports = [
+        ("json", export_json(fn, fe, "proj1", include_metadata=False)),
+        ("graphml", export_graphml(fn, fe, "proj1")),
+        ("gexf", export_gexf(fn, fe, "proj1")),
+    ]
+    exp_rows = spark.createDataFrame(
+        [
+            ("export", fmt, hashlib.sha256(s.encode()).hexdigest(),
+             len(s))
+            for fmt, s in exports
+        ],
+        "kind string, id1 string, id2 string, n long",
+    ).select(
+        "kind", "id1", "id2", "n", _NA_D().alias("w"),
+        _NA_S().alias("payload"),
+    )
+    return node_rows.unionByName(edge_rows).unionByName(exp_rows)
+
+
+def _gf_oracle() -> str:
+    node_vals = ",\n    ".join(
+        f"('{i}', '{l}', '{t}', {d})" for i, l, t, d in _GF_NODES
+    )
+    edge_vals = ",\n    ".join(
+        f"('{s}', '{t}', '{r}', {w})" for s, t, r, w in _GF_EDGES
+    )
+    # export shas pinned ONCE from the export strings and verified
+    # byte-identical against the actual reference GraphExporter on the
+    # same filtered graph (see test_graph_export.py for the live
+    # byte-parity differential)
+    return f"""
+WITH nodes(id, label, entity_type, degree) AS (VALUES
+    {node_vals}),
+edges(source, target, relationship_type, weight) AS (VALUES
+    {edge_vals}),
+kept_nodes AS (
+  SELECT * FROM nodes
+  WHERE entity_type IN ('person', 'organization') AND degree >= 2),
+kept_edges AS (
+  SELECT e.* FROM edges e
+  JOIN kept_nodes a ON e.source = a.id
+  JOIN kept_nodes b ON e.target = b.id
+  WHERE e.weight >= 2.0
+    AND e.relationship_type IN ('works_for', 'mentioned_with')),
+new_deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT source AS id FROM kept_edges
+    UNION ALL SELECT target FROM kept_edges)
+  GROUP BY id)
+SELECT 'fnode' AS kind, n.id AS id1, '<na>' AS id2,
+       d.degree::BIGINT AS n, -424242.0::DOUBLE AS w,
+       '<na>' AS payload
+FROM kept_nodes n JOIN new_deg d ON n.id = d.id
+UNION ALL
+SELECT 'fedge', source, target, -424242::BIGINT, weight,
+       relationship_type
+FROM kept_edges
+UNION ALL
+SELECT 'export', fmt, sha, len::BIGINT, -424242.0::DOUBLE, '<na>'
+FROM (VALUES
+  ('json',
+   'a7b04f3f22a9b26a2f7ccb5ed6169c30260e87a8350b12317ad71b5fb59c1555',
+   1787),
+  ('graphml',
+   'c375e9f428fd3e5a8de5f7addca3aeadd2d95d5185eb0f0d7334cc03c7b89d18',
+   2424),
+  ('gexf',
+   'cd7ab89f5ed409fd764eff60c38910f4c3b48ea8b6493141fb905291f84968a3',
+   2798)) t(fmt, sha, len)
+"""
+
+
+ORACLE_EXT3["graph_export_filter"] = _gf_oracle()
