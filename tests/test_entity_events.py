@@ -368,3 +368,29 @@ def test_no_nested_loop_join_in_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     rows = {r["id"]: r["entities"] for r in out.collect()}
     assert rows["ev1"] == ["e1", "x"]
+
+
+def test_backslash_and_quote_terminator_names(ref, spark):
+    """Names containing backslashes — including a literal \\E, which
+    terminates Java's \\Q quoting and must be split-escaped — match
+    literally and identically to the reference's re.escape path."""
+    entity_rows = [
+        {"id": "e1", "name": r"acme\E corp", "aliases": "[]"},
+        {"id": "e2", "name": r"x\y", "aliases": "[]"},
+        {"id": "e3", "name": "a+b", "aliases": "[]"},
+    ]
+    events = [
+        {"id": "ev1", "document_id": "d", "text": r"met acme\E corp today",
+         "date_start": dt.datetime(2024, 1, 1), "entities": []},
+        {"id": "ev2", "document_id": "d", "text": r"path x\y here",
+         "date_start": dt.datetime(2024, 1, 1), "entities": []},
+        {"id": "ev3", "document_id": "d", "text": "sum a+b done",
+         "date_start": dt.datetime(2024, 1, 1), "entities": []},
+        {"id": "ev4", "document_id": "d", "text": "acme corp and xy and ab",
+         "date_start": dt.datetime(2024, 1, 1), "entities": []},
+    ]
+    exp = _ref_link(ref, entity_rows, events)
+    got = _spark_link(spark, entity_rows, events)
+    assert got == exp
+    assert got["ev1"] == ["e1"] and got["ev2"] == ["e2"]
+    assert got["ev3"] == ["e3"] and got["ev4"] == []
