@@ -475,7 +475,12 @@ MERGES: dict[str, tuple[list, list]] = {
          ("f_otsu", _D), ("f_fg", _D), ("f_aspect", _D),
          ("sample_rate", _I), ("channels", _I), ("bits", _I),
          ("duration_s", _D), ("rms", _D), ("peak", _D),
-         ("frame_index", _I), ("frame_ts_s", _D), ("frame_digest", _S)],
+         ("frame_index", _I), ("frame_ts_s", _D), ("frame_digest", _S),
+         ("dpi", _I), ("is_grayscale", _BO), ("compression_ratio", _D),
+         ("contrast_ratio", _D), ("skew_angle", _D), ("has_noise", _BO),
+         ("layout", _S), ("is_blank", _BO), ("classification", _S),
+         ("needs_downscale", _BO), ("downscale_factor", _D),
+         ("issues", _S), ("route", _S)],
         [("image", "image_features",
           {"media_id": "media_id", "width": "width", "height": "height",
            "f_mean": "f_mean", "f_std": "f_std", "f_min": "f_min",
@@ -487,7 +492,18 @@ MERGES: dict[str, tuple[list, list]] = {
            "duration_s": "duration_s", "rms": "rms", "peak": "peak"}),
          ("video", "video_frame_samples",
           {"media_id": "media_id", "frame_index": "frame_index",
-           "frame_ts_s": "frame_ts_s", "frame_digest": "frame_digest"})],
+           "frame_ts_s": "frame_ts_s", "frame_digest": "frame_digest"}),
+         ("quality", "image_quality",
+          {"media_id": "media_id", "dpi": "dpi",
+           "is_grayscale": "is_grayscale",
+           "compression_ratio": "compression_ratio",
+           "contrast_ratio": "contrast_ratio",
+           "skew_angle": "skew_angle", "has_noise": "has_noise",
+           "layout": "layout_complexity", "is_blank": "is_blank",
+           "classification": "classification",
+           "needs_downscale": "needs_downscale",
+           "downscale_factor": "downscale_factor", "issues": "issues",
+           "route": "route"})],
     ),
 }
 

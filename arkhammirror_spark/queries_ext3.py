@@ -4092,3 +4092,114 @@ FROM (VALUES
 
 
 ORACLE_EXT3["graph_export_filter"] = _gf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Ingest image-quality classification + OCR routing
+# (ingest/classifiers/image_quality.py:41-341, ingest/models.py:67-136)
+# — deterministic PNG fixtures, one per heuristic regime; oracle is a
+# pinned VALUES table (the image_features pattern: the numpy lane's
+# outputs are pinned once and verified against the ACTUAL reference
+# classifier by tests/test_image_quality.py's injected-PIL differential).
+# ---------------------------------------------------------------------------
+
+
+def _iq_fixture_media():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    textured = np.zeros((h, w))
+    for _ in range(6):
+        fx, fy = rng.uniform(0.5, 3, 2)
+        p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+        textured += rng.uniform(0.5, 1.5) * np.cos(
+            2 * np.pi * fx * xx / w + p1
+        ) * np.cos(2 * np.pi * fy * yy / h + p2)
+    textured = (
+        (textured - textured.min())
+        / (textured.max() - textured.min()) * 255
+    ).astype(np.uint8)
+    blank_white = np.full((h, w), 252, dtype=np.uint8)
+    lowc = np.full((h, w), 128, dtype=np.uint8)
+    lowc[rng.rand(h, w) < 0.10] = 180
+    ramp = np.tile(np.linspace(0, 63, w).astype(np.uint8), (h, 1))
+    table = np.full((h, w), 230, dtype=np.uint8)
+    table[8::16, :] = 20
+    clean = np.zeros((200, 256), dtype=np.uint8)
+    clean[:, 128:] = 128
+    return [
+        ("iq-textured", np.stack([textured] * 3, axis=2), 300),
+        ("iq-blank", blank_white, 150),
+        ("iq-lowc", lowc, 96),
+        ("iq-table", table, 72),
+        ("iq-ramp", ramp, 201),
+        ("iq-clean", clean, 150),
+    ]
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.image_quality import (
+        classify_image_quality, image_quality_metrics, ocr_route,
+    )
+    from .operators.multimodal import encode_png
+
+    media = spark.createDataFrame(
+        [
+            (mid, bytearray(encode_png(arr)), dpi)
+            for mid, arr, dpi in _iq_fixture_media()
+        ],
+        "media_id string, payload binary, dpi int",
+    )
+    metrics = image_quality_metrics(media).join(
+        media.select("media_id", "dpi"), "media_id"
+    )
+    classified = classify_image_quality(metrics, dpi_col="dpi")
+    routed = ocr_route(classified)
+    return routed.select(
+        "media_id",
+        F.col("dpi").cast("int").alias("dpi"),
+        "is_grayscale",
+        F.round("compression_ratio", 6).alias("compression_ratio"),
+        F.round("contrast_ratio", 6).alias("contrast_ratio"),
+        F.round("skew_angle", 6).alias("skew_angle"),
+        "has_noise", "layout_complexity", "is_blank", "classification",
+        "needs_downscale",
+        F.round("downscale_factor", 6).alias("downscale_factor"),
+        "issues", "route",
+    )
+
+
+QUERIES_EXT3["image_quality"] = q_image_quality
+
+
+# pinned from the fixture run; every row verified against the ACTUAL
+# ImageQualityClassifier + ImageQualityScore + get_ocr_route by the
+# injected-PIL differential suite (tests/test_image_quality.py)
+ORACLE_EXT3["image_quality"] = """
+SELECT * FROM (VALUES
+  ('iq-blank', 150, true, 0.030924::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+   false, 'simple', true, 'fixable', false, 1.0::DOUBLE,
+   'low_contrast:0.00', ''),
+  ('iq-clean', 150, true, 0.006074::DOUBLE, 0.8::DOUBLE, 0.0::DOUBLE,
+   false, 'simple', false, 'clean', false, 1.0::DOUBLE, '',
+   'gpu-paddle'),
+  ('iq-lowc', 96, true, 0.145508::DOUBLE, 0.195507::DOUBLE,
+   0.077205::DOUBLE, true, 'simple', false, 'messy', false,
+   1.0::DOUBLE, 'low_dpi:96|low_contrast:0.20|noisy',
+   'cpu-image|gpu-paddle'),
+  ('iq-ramp', 201, true, 0.051432::DOUBLE, 0.230912::DOUBLE,
+   0.0::DOUBLE, false, 'simple', false, 'fixable', true,
+   0.746269::DOUBLE, 'low_contrast:0.23',
+   'cpu-image:downscale|cpu-image|gpu-paddle'),
+  ('iq-table', 72, true, 0.035156::DOUBLE, 0.635411::DOUBLE,
+   10.0::DOUBLE, true, 'table', false, 'messy', false, 1.0::DOUBLE,
+   'low_dpi:72|skewed:10.0deg|noisy', 'cpu-image|gpu-paddle'),
+  ('iq-textured', 300, false, 0.503906::DOUBLE, 0.626987::DOUBLE,
+   0.017442::DOUBLE, true, 'simple', false, 'fixable', true,
+   0.5::DOUBLE, 'noisy', 'cpu-image:downscale|cpu-image|gpu-paddle')
+) t(media_id, dpi, is_grayscale, compression_ratio, contrast_ratio,
+    skew_angle, has_noise, layout_complexity, is_blank, classification,
+    needs_downscale, downscale_factor, issues, route)
+"""
