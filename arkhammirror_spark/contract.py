@@ -198,12 +198,17 @@ MERGES: dict[str, tuple[list, list]] = {
     ),
     "container_extracts": (
         [("url", _S), ("lang", _S), ("member_name", _S), ("ts", _S),
-         ("sha", _S)],
+         ("sha", _S), ("extension", _S), ("category", _S),
+         ("mime_type", _S), ("file_route", _S)],
         [("formats", "format_extracts",
           {"url": "url", "lang": "lang", "sha": "text_sha"}),
          ("archive", "archive_members",
           {"url": "url", "member_name": "member_name", "sha": "payload_sha"}),
-         ("warc", "warc_ingest", {"url": "url", "ts": "ts", "sha": "text_sha"})],
+         ("warc", "warc_ingest", {"url": "url", "ts": "ts", "sha": "text_sha"}),
+         ("routes", "file_routes",
+          {"url": "file_name", "extension": "extension",
+           "category": "category", "mime_type": "mime_type",
+           "file_route": "file_route"})],
     ),
     "mentions": (
         [("doc_id", _B), ("entity_text", _S), ("entity_type", _S),

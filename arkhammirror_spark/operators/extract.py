@@ -22,7 +22,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..reference_impl.eml import extract_eml
 from ..reference_impl.htmlstrip import strip_html
@@ -186,3 +186,86 @@ def extract_docs(pages: DataFrame, include_mentions: bool = False) -> DataFrame:
         cols.append("kind")
     schema = DOCS_MENTIONS_SCHEMA if include_mentions else DOCS_SCHEMA
     return pages.select(*cols).mapInPandas(_make_batches(include_mentions), schema)
+
+
+# --- filename-based type classification + worker routing -------------------
+# (ingest/classifiers/file_type.py:12-195 — the extension/MIME tables and
+# route pipelines; sniff_kind above stays the content-based lane for rows
+# without filenames)
+
+FILE_TYPE_ROUTES = {
+    "document": ([".pdf", ".docx", ".doc", ".odt", ".rtf"],
+                 ["cpu-extract"]),
+    "image": ([".png", ".jpg", ".jpeg", ".tiff", ".tif", ".bmp",
+               ".webp"], ["cpu-light:classify"]),
+    "spreadsheet": ([".xlsx", ".xls", ".csv", ".tsv", ".ods"],
+                    ["cpu-extract"]),
+    "text": ([".txt", ".md", ".json", ".xml", ".html"], ["cpu-light"]),
+    "email": ([".eml", ".msg"], ["cpu-extract"]),
+    "archive": ([".zip", ".tar", ".gz", ".7z", ".rar"], ["cpu-archive"]),
+    "audio": ([".mp3", ".wav", ".m4a", ".ogg", ".flac"],
+              ["gpu-whisper"]),
+}
+
+_FALLBACK_MIME = {
+    ".pdf": "application/pdf",
+    ".docx": "application/vnd.openxmlformats-officedocument."
+             "wordprocessingml.document",
+    ".doc": "application/msword",
+    ".xlsx": "application/vnd.openxmlformats-officedocument."
+             "spreadsheetml.sheet",
+    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+    ".tiff": "image/tiff", ".tif": "image/tiff", ".txt": "text/plain",
+    ".html": "text/html", ".json": "application/json",
+    ".xml": "application/xml", ".zip": "application/zip",
+    ".mp3": "audio/mpeg", ".wav": "audio/wav",
+}
+
+_FILE_CATEGORIES = {"document", "image", "audio", "archive", "unknown"}
+
+
+def file_type_info(files, name_col: str = "file_name"):
+    """Extension / category / MIME / worker route as native columns
+    (file_type.py:71-195), no per-row Python.
+
+    Faithful quirks: route categories absent from the FileCategory enum
+    (spreadsheet/text/email) classify as 'document' (file_type.py:141);
+    MIME is the extension-fallback table (python-magic is a host
+    library, not a column function — callers with sniffed MIME columns
+    pass them through _get_category's prefix rules instead); unknown
+    extensions route to cpu-light. Extension uses pathlib suffix
+    semantics (last dot, never the leading dot of a hidden file)."""
+    ext = F.lower(
+        F.regexp_extract(F.col(name_col), r".+(\.[^./\\]+)$", 1)
+    )
+    cat_pairs = [
+        (e, cat) for cat, (exts, _) in FILE_TYPE_ROUTES.items()
+        for e in exts
+    ]
+    category = F.lit(None).cast("string")
+    route_category = F.lit(None).cast("string")
+    for e, cat in cat_pairs:
+        category = F.when(ext == e, cat).otherwise(category)
+        route_category = F.when(ext == e, cat).otherwise(route_category)
+    category = F.when(
+        category.isNotNull(),
+        F.when(
+            category.isin(*sorted(_FILE_CATEGORIES)), category
+        ).otherwise(F.lit("document")),
+    ).otherwise(F.lit("unknown"))
+    mime = F.lit("application/octet-stream")
+    for e, m in _FALLBACK_MIME.items():
+        mime = F.when(ext == e, m).otherwise(mime)
+    route = F.lit("cpu-light")
+    for cat, (_, pipeline) in FILE_TYPE_ROUTES.items():
+        route = F.when(
+            route_category == cat, F.lit("|".join(pipeline))
+        ).otherwise(route)
+    return files.withColumns(
+        {
+            "extension": ext,
+            "category": category,
+            "mime_type": mime,
+            "file_route": route,
+        }
+    )

@@ -4203,3 +4203,74 @@ SELECT * FROM (VALUES
     skew_angle, has_noise, layout_complexity, is_blank, classification,
     needs_downscale, downscale_factor, issues, route)
 """
+
+
+# ---------------------------------------------------------------------------
+# Filename-based file-type classification + worker routing
+# (ingest/classifiers/file_type.py:12-195) — full SQL mirror of the
+# extension/category/MIME/route tables over a pinned filename fixture.
+# ---------------------------------------------------------------------------
+
+_FT_NAMES = [
+    "report.pdf", "memo.DOCX", "data.xlsx", "notes.txt", "page.HTML",
+    "feed.json", "scan.png", "photo.JPEG", "pic.tiff", "song.mp3",
+    "voice.wav", "bundle.zip", "backup.tar", "packed.7z", "mail.eml",
+    "old.msg", "sheet.csv", "plain.md", "clip.flac", "archive.gz",
+    "noext", ".hidden", "trailing.", "double.tar.gz", "weird.xyz",
+    "UPPER.PDF",
+]
+
+
+def q_file_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import file_type_info
+
+    files = spark.createDataFrame(
+        [(n,) for n in _FT_NAMES], "file_name string"
+    )
+    return file_type_info(files).select(
+        "file_name", "extension", "category", "mime_type", "file_route"
+    )
+
+
+def _file_routes_oracle() -> str:
+    from .operators.extract import _FALLBACK_MIME, FILE_TYPE_ROUTES
+
+    names = ",\n    ".join(f"('{n}')" for n in _FT_NAMES)
+    cat_whens = "\n".join(
+        f"    WHEN ext = '{e}' THEN '{cat if cat in ('document', 'image', 'audio', 'archive') else 'document'}'"
+        for cat, (exts, _) in FILE_TYPE_ROUTES.items()
+        for e in exts
+    )
+    mime_whens = "\n".join(
+        f"    WHEN ext = '{e}' THEN '{m}'"
+        for e, m in _FALLBACK_MIME.items()
+    )
+    route_whens = "\n".join(
+        f"    WHEN ext = '{e}' THEN '{'|'.join(pipe)}'"
+        for _, (exts, pipe) in FILE_TYPE_ROUTES.items()
+        for e in exts
+    )
+    return f"""
+WITH files(file_name) AS (VALUES
+    {names}),
+extd AS (
+  SELECT file_name,
+         lower(regexp_extract(file_name,
+               '.+(\\.[^./\\\\]+)$', 1)) AS ext
+  FROM files)
+SELECT file_name, ext AS extension,
+       CASE
+{cat_whens}
+    ELSE 'unknown' END AS category,
+       CASE
+{mime_whens}
+    ELSE 'application/octet-stream' END AS mime_type,
+       CASE
+{route_whens}
+    ELSE 'cpu-light' END AS file_route
+FROM extd
+"""
+
+
+QUERIES_EXT3["file_routes"] = q_file_routes
+ORACLE_EXT3["file_routes"] = _file_routes_oracle()
