@@ -42,6 +42,7 @@ _ARROW_BOUNDS = {
     "ann_ivf_topk": (0, 0),       # MLlib fit happens at plan build
     "chunk_strategy_paragraph": (1, 1),
     "ner_model_mentions": (1, 1),
+    "image_quality": (1, 1),      # the five-heuristic metrics pass
     "audio_features": (1, 1),
     "video_frame_samples": (1, 1),
     "image_features": (1, 1),     # the gated decode mapInPandas pass
