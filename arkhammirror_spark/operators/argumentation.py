@@ -64,7 +64,11 @@ def hypothesis_nodes(
             F.col("normalized_score").alias("confidence"),
             "consistency_score",
             "rank",
-            (F.col("rank") == F.col("min_rank")).alias("is_lead"),
+            # a hypothesis absent from the scores frame (no ratings at
+            # all) is never the lead — the reference's lookup default
+            F.coalesce(
+                F.col("rank") == F.col("min_rank"), F.lit(False)
+            ).alias("is_lead"),
         )
     )
 

@@ -134,7 +134,9 @@ def link_entities_to_events(
     RLIKE over \\Q-quoted patterns. Events with NULL/empty text — and
     events matching nothing — keep their existing ``entities`` value
     untouched (including NULL), exactly like the reference's
-    ``continue`` / no-merge paths.
+    ``continue`` / no-merge paths. Event ids are assumed unique (the
+    reference links a list of distinct event objects); duplicate ids
+    would pool their matches through the groupBy.
     """
     idx = entity_name_index(
         entities, entity_id_col, name_col, aliases_col, order_col

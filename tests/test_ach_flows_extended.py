@@ -586,3 +586,41 @@ class TestFlows:
         an, al = aggregate_flows(fn, fl, min_value=2.0, max_links=8)
         assert _got_link_set(al.collect()) == _link_set(exp.links)
         assert _got_node_map(an.collect()) == _node_map(exp.nodes)
+
+
+def test_argumentation_unrated_hypothesis_is_not_lead(
+    spark, ach_ref, graph_ref
+):
+    """A hypothesis with NO ratings at all still gets a node and is_lead
+    False (the reference's score-lookup default) — not NULL."""
+    from arkhammirror_spark.operators.ach import ach_scores
+    from arkhammirror_spark.operators.argumentation import (
+        hypothesis_nodes,
+    )
+
+    models, scoring, _ = ach_ref
+    m = models.ACHMatrix(id="m", title="t")
+    m.hypotheses = [
+        models.Hypothesis(id="h0", matrix_id="m", title="A"),
+        models.Hypothesis(id="h1", matrix_id="m", title="B"),
+        models.Hypothesis(id="hx", matrix_id="m", title="Unrated"),
+    ]
+    m.evidence = [
+        models.Evidence(id="e0", matrix_id="m", description="d",
+                        credibility=0.75, relevance=1.0),
+    ]
+    m.ratings = [
+        models.Rating(matrix_id="m", evidence_id="e0",
+                      hypothesis_id=h, confidence=1.0,
+                      rating=models.ConsistencyRating(r))
+        for h, r in (("h0", "++"), ("h1", "-"))
+    ]
+    ratings, _, hyps = _frames(spark, m)
+    got = {
+        r["node_id"]: r
+        for r in hypothesis_nodes(hyps, ach_scores(ratings)).collect()
+    }
+    assert set(got) == {"hyp_h0", "hyp_h1", "hyp_hx"}
+    assert got["hyp_hx"]["is_lead"] is False
+    assert got["hyp_h0"]["is_lead"] is True
+    assert got["hyp_h1"]["is_lead"] is False
