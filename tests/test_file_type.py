@@ -64,7 +64,10 @@ def test_file_type_matches_reference(ref, spark, tmp_path):
 
     models, ft = ref
     clf = ft.FileTypeClassifier()
-    assert clf._magic is None  # extension-fallback lanes on both sides
+    # pin the extension-fallback lanes on both sides (the hidden-content
+    # suite registers a `magic` stub in sys.modules, which the gated
+    # import would otherwise pick up mid-run)
+    clf._magic = None
     exp = {}
     for n in _NAMES:
         p = tmp_path / n
