@@ -83,7 +83,11 @@ def normalize_text(text: str) -> tuple[str, list[str]]:
     """
     changes: list[str] = []
 
-    kept = "".join(ch for ch in text if _keep_char(ch))
+    # Evaluate the keep predicate once per DISTINCT character and delete via
+    # str.translate (C speed): identical output to the per-char filter, since
+    # translate deletes exactly the dropped set in order.
+    drop = [ch for ch in set(text) if not _keep_char(ch)]
+    kept = text.translate({ord(c): None for c in drop}) if drop else text
     if len(kept) != len(text):
         changes.append("removed_control_chars")
 
@@ -129,8 +133,9 @@ def detect_language(text: str) -> tuple[str, float]:
     """
     latin = cyrillic = arabic = cjk = total = 0
     counts = [0, 0, 0, 0, 0, 0]
-    for ch in text:
-        counts[_script_of(ch)] += 1
+    # one _script_of call per DISTINCT char; integer sums are order-free
+    for ch, n in Counter(text).items():
+        counts[_script_of(ch)] += n
     latin, cyrillic, arabic, cjk = counts[1], counts[2], counts[3], counts[4]
     total = latin + cyrillic + arabic + cjk + counts[5]
 
@@ -153,16 +158,21 @@ def detect_language(text: str) -> tuple[str, float]:
     return lang, round(share, 2)
 
 
+def _entropy_from_counts(counts: "Counter[str]", n: int) -> float:
+    # Counter iteration order is first-occurrence order — deterministic for a
+    # given string — so this float fold is bit-identical to the original.
+    ent = 0.0
+    for cnt in counts.values():
+        p = cnt / n
+        ent -= p * math.log2(p)
+    return ent
+
+
 def shannon_entropy(text: str) -> float:
     """Character-level Shannon entropy in bits."""
     if not text:
         return 0.0
-    n = len(text)
-    ent = 0.0
-    for cnt in Counter(text).values():
-        p = cnt / n
-        ent -= p * math.log2(p)
-    return ent
+    return _entropy_from_counts(Counter(text), len(text))
 
 
 def assess_quality(text: str) -> dict:
@@ -191,7 +201,8 @@ def assess_quality(text: str) -> dict:
         issues.append("very_short")
         score -= 0.3
 
-    entropy = shannon_entropy(text)
+    char_counts = Counter(text)  # shared by entropy + letter/digit tallies
+    entropy = _entropy_from_counts(char_counts, char_count)
     if entropy < 2.0:
         issues.append("very_low_entropy")
         score -= 0.4
@@ -201,10 +212,11 @@ def assess_quality(text: str) -> dict:
 
     letters = 0
     digits = 0
-    for c in text:
+    # one _cls_of call per DISTINCT char; integer sums are order-free
+    for c, n in char_counts.items():
         cls = _cls_of(c)
-        letters += cls & 1
-        digits += (cls >> 1) & 1
+        letters += (cls & 1) * n
+        digits += ((cls >> 1) & 1) * n
 
     if char_count > 0:
         letter_ratio = letters / char_count
