@@ -277,12 +277,13 @@ def detect_gaps(
     sorted_gaps[len(gaps) // 2]. Fewer than 3 events → no conflicts.
 
     With no `group_col` the whole input is ONE timeline — the reference's
-    call shape (one project per scan), which is inherently a total order,
-    so Spark plans a single-partition window (it warns `No Partition
-    Defined`; correct and bounded here because a single timeline that
-    needs a global sort is small by construction). At corpus scale pass
-    `group_col` (project/case id): every window then partitions by it and
-    the lag/median math runs per-group in parallel."""
+    call shape (one project per scan), which is inherently a total order.
+    That arm runs DISTRIBUTED anyway (r8): the lag runs per range
+    partition with per-partition boundary rows stitched on the driver
+    (bounded by the partition count), and the median is an exact
+    distributed order-statistic selection — no single-partition
+    WindowExec anywhere. At corpus scale pass `group_col` (project/case
+    id) for the fully windowed per-group form."""
     # _prep projects events down to a fixed column set, so a caller-named
     # group column must be computed BEFORE the projection and carried
     # through it (a post-_prep F.col(group_col) would be unresolvable).
@@ -290,55 +291,183 @@ def detect_gaps(
         ev = _prep(
             events.withColumn("_g", F.col(group_col)), passthrough=("_g",)
         )
-    else:
-        ev = _prep(events).withColumn("_g", F.lit(1))
-    w = Window.partitionBy("_g").orderBy("date_start", "ord")
+        w = Window.partitionBy("_g").orderBy("date_start", "ord")
+        adj = (
+            ev.withColumn(
+                "n_ev", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+            )
+            .withColumn("prev_id", F.lag("id").over(w))
+            .withColumn("prev_date", F.lag("date_start").over(w))
+            .withColumn("prev_doc", F.lag("document_id").over(w))
+            .where(F.col("prev_id").isNotNull() & (F.col("n_ev") >= 3))
+            .withColumn(
+                "gap_days",
+                F.datediff(
+                    F.col("date_start"), F.col("prev_date")
+                ).cast("long"),
+            )
+        )
+        gw = Window.partitionBy("_g").orderBy("gap_days")
+        med = (
+            adj.withColumn("_rn", F.row_number().over(gw))
+            .withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+            )
+            .where(F.col("_rn") == F.floor(F.col("_n") / 2) + 1)
+            .select("_g", F.col("gap_days").alias("median_gap"))
+        )
+        return _gap_select(adj.join(med, "_g"))
+    return _detect_gaps_global(_prep(events))
+
+
+def _gap_select(adj: DataFrame) -> DataFrame:
+    return adj.where(
+        (F.col("gap_days") > F.col("median_gap") * 3)
+        & (F.col("gap_days") > 30)
+    ).select(
+        F.lit("gap").alias("conflict_type"),
+        F.lit("low").alias("severity"),
+        F.col("prev_id").alias("event1_id"),
+        F.col("id").alias("event2_id"),
+        F.col("prev_doc").alias("doc1"),
+        F.col("document_id").alias("doc2"),
+        F.concat(
+            F.lit("Unexpected "),
+            F.col("gap_days").cast("string"),
+            F.lit("-day gap between events ("),
+            F.col("prev_date").cast("string"),
+            F.lit(" to "),
+            F.col("date_start").cast("string"),
+            F.lit(")"),
+        ).alias("description"),
+        F.lit("check_for_missing_data").alias("suggested_resolution"),
+        F.col("gap_days"),
+        F.col("median_gap"),
+    )
+
+
+_GAP_SCHEMA = (
+    "conflict_type string, severity string, event1_id string, "
+    "event2_id string, doc1 string, doc2 string, description string, "
+    "suggested_resolution string, gap_days long, median_gap long"
+)
+
+
+def _detect_gaps_global(ev: DataFrame) -> DataFrame:
+    """Ungrouped (single-timeline) gap arm, distributed:
+
+    1. range-partition by the timeline order (date_start, ord) and PIN the
+       assignment with an eager localCheckpoint;
+    2. lag() per partition (keyed window), with each partition's first row
+       stitched to the previous non-empty partition's last row — at most
+       one boundary row per partition crosses the driver;
+    3. the reference's exact median pick (sorted_gaps[n // 2], 1-based
+       rank n//2+1) as a distributed order-statistic selection: range-
+       partition the gaps, locate the target partition by per-partition
+       counts, row_number only within it.
+
+    Identical to the windowed form: (date_start, ord) is a total order
+    (ord is the unique reference list index), so per-partition lag +
+    boundary stitching reproduces the global lag row-for-row, and the
+    selected gap value is the same order statistic regardless of how ties
+    are split across partitions."""
+    spark = ev.sparkSession
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    parted = (
+        ev.repartitionByRange(nparts, "date_start", "ord")
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    n_ev = parted.count()
+    if n_ev < 3:
+        return spark.createDataFrame([], _GAP_SCHEMA)
+
+    wb = Window.partitionBy("_b").orderBy("date_start", "ord")
+    wlast = Window.partitionBy("_b").orderBy(
+        F.col("date_start").desc_nulls_last(), F.col("ord").desc()
+    )
+    lasts = sorted(
+        parted.withColumn("_rl", F.row_number().over(wlast))
+        .where(F.col("_rl") == 1)
+        .select("_b", "id", "date_start", "document_id")
+        .collect(),
+        key=lambda r: r["_b"],
+    )
+    brows = []
+    prev = None
+    for r in lasts:  # one row per NON-EMPTY partition, in range order
+        if prev is not None:
+            brows.append(
+                (r["_b"], prev["id"], prev["date_start"],
+                 prev["document_id"])
+            )
+        prev = r
+    bdf = spark.createDataFrame(
+        brows, "_b int, _bprev_id string, _bprev_date date, _bprev_doc string"
+    )
+    first = F.col("_rn") == 1
     adj = (
-        ev.withColumn("n_ev", F.count(F.lit(1)).over(Window.partitionBy("_g")))
-        .withColumn("prev_id", F.lag("id").over(w))
-        .withColumn("prev_date", F.lag("date_start").over(w))
-        .withColumn("prev_doc", F.lag("document_id").over(w))
-        .where(F.col("prev_id").isNotNull() & (F.col("n_ev") >= 3))
+        parted.withColumn("_rn", F.row_number().over(wb))
+        .withColumn("prev_id", F.lag("id").over(wb))
+        .withColumn("prev_date", F.lag("date_start").over(wb))
+        .withColumn("prev_doc", F.lag("document_id").over(wb))
+        .join(F.broadcast(bdf), "_b", "left")
+        .withColumn(
+            "prev_id",
+            F.when(first, F.col("_bprev_id")).otherwise(F.col("prev_id")),
+        )
+        .withColumn(
+            "prev_date",
+            F.when(first, F.col("_bprev_date")).otherwise(F.col("prev_date")),
+        )
+        .withColumn(
+            "prev_doc",
+            F.when(first, F.col("_bprev_doc")).otherwise(F.col("prev_doc")),
+        )
+        .where(F.col("prev_id").isNotNull())
         .withColumn(
             "gap_days",
             F.datediff(F.col("date_start"), F.col("prev_date")).cast("long"),
         )
     )
-    gw = Window.partitionBy("_g").orderBy("gap_days")
-    med = (
-        adj.withColumn("_rn", F.row_number().over(gw))
-        .withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("_g"))
-        )
-        .where(F.col("_rn") == F.floor(F.col("_n") / 2) + 1)
-        .select("_g", F.col("gap_days").alias("median_gap"))
+    n_gaps = adj.count()
+    if n_gaps == 0:
+        return spark.createDataFrame([], _GAP_SCHEMA)
+    k = n_gaps // 2 + 1
+
+    g = (
+        adj.select("gap_days")
+        .repartitionByRange(nparts, "gap_days")
+        .withColumn("_gb", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    return (
-        adj.join(med, "_g")
-        .where(
-            (F.col("gap_days") > F.col("median_gap") * 3)
-            & (F.col("gap_days") > 30)
+    cnts = sorted(
+        (r["_gb"], r["n"])
+        for r in g.groupBy("_gb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc = 0
+    target = local_r = None
+    for b, cn in cnts:
+        if acc + cn >= k:
+            target, local_r = b, k - acc
+            break
+        acc += cn
+    med_row = (
+        g.where(F.col("_gb") == target)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("_gb").orderBy("gap_days")
+            ),
         )
-        .select(
-            F.lit("gap").alias("conflict_type"),
-            F.lit("low").alias("severity"),
-            F.col("prev_id").alias("event1_id"),
-            F.col("id").alias("event2_id"),
-            F.col("prev_doc").alias("doc1"),
-            F.col("document_id").alias("doc2"),
-            F.concat(
-                F.lit("Unexpected "),
-                F.col("gap_days").cast("string"),
-                F.lit("-day gap between events ("),
-                F.col("prev_date").cast("string"),
-                F.lit(" to "),
-                F.col("date_start").cast("string"),
-                F.lit(")"),
-            ).alias("description"),
-            F.lit("check_for_missing_data").alias("suggested_resolution"),
-            F.col("gap_days"),
-            F.col("median_gap"),
-        )
+        .where(F.col("_r") == local_r)
+        .collect()
+    )
+    med_val = med_row[0]["gap_days"]
+    return _gap_select(
+        adj.withColumn("median_gap", F.lit(med_val).cast("long"))
     )
 
 

@@ -204,6 +204,11 @@ def spearman_int_rank(
     gb = list(group_cols or [])
 
     def int_ranks(col: str, out: str):
+        # The ungrouped arm is a documented SMALL-DATA lane: with no
+        # group_cols the rank window is necessarily global (one partition).
+        # Every contract/production call passes group_cols (hash-partitioned
+        # windows); callers ranking an ungrouped corpus-scale frame should
+        # add a grouping key or pre-aggregate first.
         w_rank = Window.partitionBy(*gb).orderBy(col) if gb else (
             Window.orderBy(col)
         )

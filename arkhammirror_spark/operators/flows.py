@@ -290,14 +290,75 @@ def aggregate_flows(
     Other node takes the total of the FIRST layer pair (by dropped-link
     rank) that created it, matching the reference's insertion-order
     dict."""
-    w = Window.orderBy(
-        F.desc("value"), F.asc("source"), F.asc("target"),
-        F.asc("category")
+    # Scale shape: the original formulation ranked ALL links through one
+    # unpartitioned row_number window (single-partition WindowExec — the
+    # classic scale-killer). Replaced with a distributed top-k
+    # (orderBy().limit() → TakeOrderedAndProject) whose boundary row is
+    # brought back as a literal filter; only rows EQUAL to the boundary key
+    # (exact duplicate link rows) need a tie split, done with a window
+    # partitioned by the full link key over that tiny tied slice. The
+    # dropped side's rank feeds only per-layer-pair minima, so it is
+    # replaced by the equivalent sort-key struct: identical rows share a
+    # (slayer, tlayer) pair, hence min(struct) ordering ≡ min(row_number)
+    # ordering, exactly.
+    key_cols = [
+        F.desc("value"), F.asc("source"), F.asc("target"), F.asc("category")
+    ]
+    kstruct = F.struct(
+        (-F.col("value")).alias("nv"), "source", "target", "category"
     )
-    ranked = flow_links.withColumn("rnk", F.row_number().over(w))
-    keep = (F.col("rnk") <= max_links) & (F.col("value") >= min_value)
-    kept = ranked.where(keep).drop("rnk")
-    dropped = ranked.where(~keep)
+    # slim 4-col frame; materialize once so the top-k probe and the final
+    # branches don't recompute the caller's lineage
+    links = flow_links.select(
+        "source", "target", "value", "category"
+    ).localCheckpoint(eager=True)
+    top = (
+        links.orderBy(*key_cols).limit(max_links).collect()
+        if max_links > 0 else []
+    )
+    if max_links <= 0:
+        kept = links.where(F.lit(False))
+        dropped = links
+    elif len(top) < max_links:
+        # every link is within the rank cap; only min_value filters
+        kept = links.where(F.col("value") >= min_value)
+        dropped = links.where(~(F.col("value") >= min_value))
+    else:
+        b = top[-1]
+        bkey = F.struct(
+            F.lit(-b["value"]).alias("nv"),
+            F.lit(b["source"]).alias("source"),
+            F.lit(b["target"]).alias("target"),
+            F.lit(b["category"]).alias("category"),
+        )
+        n_tie_keep = sum(
+            1 for r in top
+            if (r["value"], r["source"], r["target"], r["category"])
+            == (b["value"], b["source"], b["target"], b["category"])
+        )
+        tied = links.where(kstruct == bkey)
+        wt = Window.partitionBy(
+            "source", "target", "value", "category"
+        ).orderBy(F.lit(1))
+        tied_rn = tied.withColumn("_rn", F.row_number().over(wt))
+        in_top_below = links.where(kstruct < bkey)
+        kept = (
+            in_top_below.unionByName(
+                tied_rn.where(F.col("_rn") <= n_tie_keep).drop("_rn")
+            ).where(F.col("value") >= min_value)
+        )
+        dropped = (
+            in_top_below.where(~(F.col("value") >= min_value))
+            .unionByName(
+                tied_rn.where(F.col("_rn") <= n_tie_keep).drop("_rn")
+                .where(~(F.col("value") >= min_value))
+            )
+            .unionByName(
+                tied_rn.where(F.col("_rn") > n_tie_keep).drop("_rn")
+            )
+            .unionByName(links.where(kstruct > bkey))
+        )
+    dropped = dropped.withColumn("rnk", kstruct)
 
     lmap = flow_nodes.select("id", "layer")
     d = (

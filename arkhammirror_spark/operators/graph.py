@@ -270,7 +270,6 @@ def betweenness_distributed(
     destroyed before returning (each call previously leaked one broadcast
     for the session lifetime).
     """
-    from pyspark.sql import Window
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -355,15 +354,19 @@ def betweenness_distributed(
             (F.col("cnt") * F.lit(scale) / F.lit(float(norm))).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("node"))
-    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= limit
+    # Top-`limit` via distributed TakeOrderedAndProject (no unpartitioned
+    # row_number window over all nodes); ranks are assigned on the driver
+    # over the ≤limit collected rows (this is already a driver-capped lane
+    # — the whole adjacency was collected above). Materializing through
+    # createDataFrame also frees the broadcast immediately, as before.
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("node")).limit(limit).collect()
     )
-    # Materialize now (top-`limit` rows — tiny) so the broadcast is not
-    # needed by the returned plan and can be released immediately.
-    out = ranked.localCheckpoint(eager=True)
     bc.destroy()
-    return out
+    return spark.createDataFrame(
+        [(r["node"], r["score"], i + 1) for i, r in enumerate(top)],
+        "node string, score double, rank int",
+    )
 
 
 def label_propagation_communities(

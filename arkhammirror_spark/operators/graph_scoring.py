@@ -486,8 +486,47 @@ def composite_entity_scores(
             ) * tw,
         )
     )
-    rank_w = Window.orderBy(F.desc("composite_score"), F.asc("entity_id"))
-    return out.withColumn("rank", F.row_number().over(rank_w)).select(
+    # Global rank over ALL scored entities without an unpartitioned
+    # row_number window (single-partition WindowExec at scale): range-
+    # partition by the rank key (distributed sort), pin the partition
+    # boundaries with an eager localCheckpoint so the per-partition counts
+    # and the final plan see the SAME assignment, then
+    # rank = (rows in earlier partitions) + row_number within partition.
+    # Keys are unique (entity_id tiebreak) so this equals the original
+    # row_number exactly.
+    spark = out.sparkSession
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    order = [F.desc("composite_score"), F.asc("entity_id")]
+    parted = (
+        out.repartitionByRange(nparts, *order)
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_b"]: r["n"]
+        for r in parted.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_b"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    rank_w = Window.partitionBy("_b").orderBy(*order)
+    return parted.withColumn(
+        "rank", (F.row_number().over(rank_w) + off_expr).cast("int")
+    ).select(
         "node_id", "entity_id", "label", "entity_type",
         "centrality_score", "frequency_score", "recency_score",
         "credibility_score", "corroboration_score", "composite_score",

@@ -4,6 +4,7 @@ from .inspect import (
     pushed_filters,
     python_node_count,
     read_schema,
+    unpartitioned_windows,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "pushed_filters",
     "python_node_count",
     "read_schema",
+    "unpartitioned_windows",
 ]

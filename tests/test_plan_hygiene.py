@@ -9,6 +9,7 @@ from arkhammirror_spark.plans import (
     python_node_count,
     pushed_filters,
     read_schema,
+    unpartitioned_windows,
 )
 from arkhammirror_spark.queries import QUERIES
 
@@ -75,6 +76,12 @@ def test_no_row_python_and_bounded_arrow(spark, name):
     assert lo <= n_py <= hi, (
         f"{name}: expected {lo}..{hi} Arrow node(s), got {n_py}"
     )
+    # No single-partition WindowExec anywhere in a registry query's plan
+    # (`WARN WindowExec: No Partition Defined` — the global-rank
+    # scale-killer; r8 replaced every such site with distributed top-k /
+    # range-partitioned rank constructions).
+    wins = unpartitioned_windows(df)
+    assert not wins, f"{name}: unpartitioned Window node(s): {wins}"
 
 
 def test_document_scans_are_pruned(spark):
