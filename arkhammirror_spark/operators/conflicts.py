@@ -430,11 +430,6 @@ def _detect_gaps_global(ev: DataFrame) -> DataFrame:
             F.datediff(F.col("date_start"), F.col("prev_date")).cast("long"),
         )
     )
-    n_gaps = adj.count()
-    if n_gaps == 0:
-        return spark.createDataFrame([], _GAP_SCHEMA)
-    k = n_gaps // 2 + 1
-
     g = (
         adj.select("gap_days")
         .repartitionByRange(nparts, "gap_days")
@@ -447,6 +442,10 @@ def _detect_gaps_global(ev: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    n_gaps = sum(n for _, n in cnts)  # no separate count pass
+    if n_gaps == 0:
+        return spark.createDataFrame([], _GAP_SCHEMA)
+    k = n_gaps // 2 + 1
     acc = 0
     target = local_r = None
     for b, cn in cnts:

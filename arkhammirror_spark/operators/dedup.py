@@ -79,7 +79,9 @@ def shingle_hashes(
     bits (~n²/2³² per-doc collisions: hundreds of silently-wrong Jaccard
     rows at 600k KB-sized docs).
     """
-    return shingles(df, id_col, text_col, n).select(
+    from .spread import spread
+
+    return shingles(spread(df, id_col), id_col, text_col, n).select(
         F.col(id_col), F.xxhash64(F.col("shingle")).alias("h")
     )
 
@@ -489,10 +491,14 @@ def simhash_pairs_from_sigs(
         sigs = sigs.withColumnRenamed(sig_col, "simhash")
 
     def block_val(i):
-        v = F.shiftright(F.col("simhash"), offsets[i])
-        if offsets[i] + widths[i] < n_bits:
-            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
-        return v
+        # ALWAYS mask: shiftright is arithmetic, so the top block of a
+        # negative 64-bit signature would sign-extend and bleed into the
+        # packed key's higher positions, making distinct block tuples
+        # collide. Masking keeps the packing injective — required for the
+        # first-matching-combo dedupe below (key equal ⟺ blocks equal).
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
 
     # pack each combo's b-k block values into one long with exact-width
     # shifts (total <= n_bits bits; a set top bit just makes the long
@@ -504,32 +510,60 @@ def simhash_pairs_from_sigs(
             v = block_val(i)
             key = v if key is None else F.shiftleft(key, widths[i]).bitwiseOR(v)
         keys.append(key)
+    # Per-combo mask over the UNTOUCHED blocks: a pair matches combo i iff
+    # (sig_a XOR sig_b) & mask_i == 0 — recomputable from the signatures
+    # both join sides already carry, so duplicate candidates (a pair can
+    # share several combos) are dropped with a "first matching combo"
+    # filter INSIDE the join instead of a full exchange + distinct over
+    # the candidate set (measured: the distinct shuffled the entire
+    # ~O(output) candidate volume a second time).
+    combo_masks = []
+    for combo in combinations(range(b), b - k):
+        m = 0
+        for i in combo:
+            m |= ((1 << widths[i]) - 1) << offsets[i]
+        # Python int -> signed 64-bit literal (top-bit masks wrap negative)
+        if m >= 1 << 63:
+            m -= 1 << 64
+        combo_masks.append(m)
+
     banded = sigs.select(
         F.col(id_col),
         "simhash",
         F.posexplode(F.array(*keys)).alias("combo", "key"),
     )
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    cands = (
-        a.join(
-            bb,
-            (F.col("a.combo") == F.col("b.combo"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col("combo").alias("_combo"), F.col("key").alias("_key"),
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.withColumn("hamming", ham).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col("combo").alias("_combo"), F.col("key").alias("_key"),
+    )
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    # "no EARLIER combo also matches": count matching combos with index
+    # below this row's — a flat O(#combos) sum of codegen-friendly bitwise
+    # tests (a higher-order-function formulation runs interpreted, and a
+    # per-combo when-chain is O(#combos²) expression nodes — measured to
+    # wreck codegen at C(9,3)=84 combos).
+    earlier_matches = None
+    for j, m in enumerate(combo_masks[:-1]):
+        term = F.when(
+            (F.col("_combo") > j) & (x.bitwiseAND(F.lit(m)) == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        earlier_matches = term if earlier_matches is None else (
+            earlier_matches + term
+        )
+    ham = F.bit_count(x)
+    out = left.join(right, ["_combo", "_key"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    if earlier_matches is not None:  # single-combo case needs no dedupe
+        out = out.where(earlier_matches == 0)
+    return out.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )
 
 
 def simhash_neardup(

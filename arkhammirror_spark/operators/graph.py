@@ -492,10 +492,15 @@ def connected_components_distributed(
         # parent{} as its own component, matching the distributed path
         # (where min over neighbors ∪ self keeps such nodes) — filtering
         # them out would make the output depend on which path ran
+        # slim (a, b) checkpoint BEFORE the cap probe: limit().collect()
+        # executes incrementally (1, 4, 16 … partitions per attempt) and
+        # each attempt would otherwise recompute the whole upstream
+        # (NER + comention) lineage — measured ~1.7× the full input cost.
+        # Two string columns per distinct edge, invariant-5-slim.
         dedup_edges = edges.select(
             F.least("entity_a", "entity_b").alias("a"),
             F.greatest("entity_a", "entity_b").alias("b"),
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         head = dedup_edges.limit(driver_cap + 1).collect()
         if len(head) <= driver_cap:
             parent: dict[str, str] = {}

@@ -58,8 +58,13 @@ def gopher_repetition(
     paper's thresholds (0.30/0.20 lines; 0.20/0.18/0.16 top 2/3/4-grams;
     0.15 … 0.10 for dup 5…10-grams, interpolated by n).
     """
+    from .spread import spread
+
     text = F.col(text_col)
-    base = df.select(F.col(id_col).alias("_id"), text.alias("_t"))
+    # the 1+len(top_ns)+len(dup_ns) explode branches below each re-run the
+    # upstream scan; fan a small single-file scan out first so the heavy
+    # split/explode work parallelizes
+    base = spread(df, id_col).select(F.col(id_col).alias("_id"), text.alias("_t"))
     total_chars = F.length("_t").cast("double")
 
     lines = F.filter(F.split(F.col("_t"), r"\n"), lambda l: F.length(F.trim(l)) > 0)

@@ -175,33 +175,54 @@ def pairwise_cosine_above_banded(
         rows_per_band = recommended_rows_per_band(emb.count())
     v = F.col(vec_col).cast("array<double>")
     # one R-bit key per band, each from its own plane block (no packed
-    # 64-bit intermediate — B×R can exceed the int64 sign bit)
+    # 64-bit intermediate — B×R can exceed the int64 sign bit); keys are
+    # computed over the checkpointed "v" column below
     band_keys = [
-        hyperplane_bucket(v, rows_per_band, plane_offset=b * rows_per_band)
+        hyperplane_bucket(
+            F.col("v"), rows_per_band, plane_offset=b * rows_per_band
+        )
         for b in range(bands)
     ]
-    banded = emb.select(
-        F.col(id_col), v.alias("v"),
-        F.posexplode(F.array(*band_keys)).alias("band", "key"),
+    # Slim frames: the banded self-join and the pair dedupe move ONLY
+    # (band, key, id) — the vectors are re-attached to the ~output-sized
+    # deduped pair set afterwards (guide §8: decide with small rows, move
+    # heavy payloads once). The previous form carried both 64-double
+    # vectors through the join AND through the distinct exchange.
+    from .spread import spread
+
+    # id + vector + the 8 band keys, materialized ONCE: the banded
+    # self-join's two sides and the verify would otherwise each re-derive
+    # the B×R hyperplane projections (the single most expensive expression
+    # here) through the join lineage. spread() fans a one-file scan out so
+    # that single key pass parallelizes.
+    slim = spread(
+        emb.select(F.col(id_col), v.alias("v")), id_col
     )
-    a, c = banded.alias("a"), banded.alias("b")
+    slim = slim.select(
+        F.col(id_col), "v", F.array(*band_keys).alias("_keys")
+    ).localCheckpoint(eager=True)
+    banded = slim.select(
+        F.col(id_col),
+        F.posexplode(F.col("_keys")).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "key"
+    )
+    c = banded.select(
+        F.col(id_col).alias("id_b"), "band", "key"
+    )
     pairs = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        a.join(c, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = slim.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = slim.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
-        pairs.withColumn("cosine", _score("cosine", F.col("va"), F.col("vb")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", _score("cosine", F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 )
 
 from .operators.edges import comention_edges
+from .operators.spread import spread as _spread
 from .operators.entities import aggregate_entities, filter_valid_mentions
 from .reference_impl.claims import extract_claims
 from .reference_impl.ner import mock_ner
@@ -110,7 +111,7 @@ def _mentions_df(
                     rows.append({"doc_id": doc_id, "entity_text": m["text"]})
             yield pd.DataFrame(rows, columns=["doc_id", "entity_text"])
 
-    return docs.mapInPandas(_run, _MENTIONS_SCHEMA)
+    return _spread(docs, "doc_id").mapInPandas(_run, _MENTIONS_SCHEMA)
 
 
 # gaps-and-islands reproduction of ner.py:94-143 (validated row-identical
@@ -291,7 +292,7 @@ def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "claim_text", "confidence"])
 
-    return docs.mapInPandas(_run, schema)
+    return _spread(docs, "doc_id").mapInPandas(_run, schema)
 
 
 def q_text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

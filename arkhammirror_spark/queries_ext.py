@@ -26,6 +26,7 @@ from pyspark.sql.types import (
 
 
 from .operators.dedup import ngram_jaccard_pairs, verified_neardup_pairs
+from .operators.spread import spread as _spread
 from .operators.timeline import extract_timeline_events
 from .queries import _cased_spark, _cased_sql, _load
 from .reference_impl.ner import mock_ner
@@ -168,7 +169,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keyword.py:166-213, 294-338): avgdl = AVG(LENGTH(text)) in CHARS over
     all docs; doc_freq(term) = COUNT docs with substring match; doc_length =
     filtered-token count; skip score < 0.01; normalize by max."""
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    from .operators.spread import spread
+
+    docs = spread(
+        _load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
 
     toks = F.filter(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), F.lit(0)),
@@ -182,15 +187,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.length("text")).alias("avg_len"),
     )
-    dfreq = None
-    for term in BM25_TERMS:
-        part = base.agg(
-            F.lit(term).alias("term"),
+    # ONE corpus pass for all term doc-frequencies (one sum per term),
+    # stacked to (term, doc_freq) rows — the per-term agg-and-union form
+    # scanned the corpus once per term
+    dfreq_wide = base.agg(
+        *[
             F.sum(
                 F.when(F.lower(F.col("text")).contains(term), 1).otherwise(0)
-            ).alias("doc_freq"),
-        )
-        dfreq = part if dfreq is None else dfreq.unionAll(part)
+            ).alias(f"_df{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{term}', _df{i}" for i, term in enumerate(BM25_TERMS)
+    )
+    dfreq = dfreq_wide.selectExpr(
+        f"stack({len(BM25_TERMS)}, {stack_args}) AS (term, doc_freq)"
+    )
 
     tf = (
         base.select("doc_id", F.size("tokens").cast("double").alias("doc_len"),
@@ -217,6 +230,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("raw"))
         .where(F.col("raw") >= 0.01)
+        # slim (doc_id, raw) checkpoint: the max-normalizer crossJoin would
+        # otherwise recompute the whole tokenize+join pipeline twice
+        .localCheckpoint(eager=False)
     )
     mx = scored.agg(F.max("raw").alias("mx"))
     return scored.crossJoin(F.broadcast(mx)).select(
@@ -576,7 +592,7 @@ def q_relations_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "names"])
 
-    with_names = docs.mapInPandas(_run, names_schema)
+    with_names = _spread(docs, "doc_id").mapInPandas(_run, names_schema)
     names = F.col("names")
     sz = F.size(names)
     pairs = F.when(
@@ -709,7 +725,7 @@ def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.mapInPandas(_run, schema)
+    return _spread(docs, "doc_id").mapInPandas(_run, schema)
 
 
 QUERIES_EXT["chunk_fixed"] = q_chunk_fixed

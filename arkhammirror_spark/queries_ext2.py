@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .queries import _cased_spark, _cased_sql, _load
+from .operators.spread import spread as _spread
 
 QUERIES_EXT2: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_EXT2: dict[str, str] = {}
@@ -658,7 +659,7 @@ def q_coref_resolutions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "pronoun", "resolved_to"])
 
-    return docs.mapInPandas(_run, schema)
+    return _spread(docs, "doc_id").mapInPandas(_run, schema)
 
 
 def _coref_oracle() -> str:
@@ -756,7 +757,7 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.mapInPandas(_run, schema)
+    return _spread(docs, "doc_id").mapInPandas(_run, schema)
 
 
 _C2_ORACLE = f"""
@@ -1429,7 +1430,7 @@ def q_chunk_strategy_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append({"doc_id": doc_id, "chunk_index": i, "chunk_text": text})
             yield pd.DataFrame(rows, columns=["doc_id", "chunk_index", "chunk_text"])
 
-    return docs.mapInPandas(_run, schema)
+    return _spread(docs, "doc_id").mapInPandas(_run, schema)
 
 
 _C7_ORACLE = """
