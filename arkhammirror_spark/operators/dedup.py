@@ -425,7 +425,9 @@ def simhash64(
     For each of the 64 bits: sum(+1/−1 weighted by token hash bit) > 0.
     Implemented as 64 aggregate expressions over exploded tokens.
     """
-    toks = df.select(
+    from .spread import spread
+
+    toks = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
@@ -617,9 +619,14 @@ def simhash64_reference(
     # duplicates are preserved), so byte parity holds. The window's
     # doc-keyed shuffle is REUSED by the downstream vote groupBy — no
     # net extra exchange.
+    from .spread import spread
+
     win = Window.partitionBy(id_col).orderBy("pos")
     word_rows = (
-        df.select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
+        # spread: the tokenize+md5 explode below inherits a one-task scan
+        # otherwise (single-file bench inputs); no-op at real scale
+        spread(df, id_col)
+        .select(F.col(id_col), F.posexplode(words).alias("pos", "w"))
         .withColumn("w2", F.lead("w", 1).over(win))
         .withColumn("w3", F.lead("w", 2).over(win))
     )

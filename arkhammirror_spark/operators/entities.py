@@ -57,6 +57,10 @@ def filter_valid_mentions(mentions: DataFrame) -> DataFrame:
 def aggregate_entities(mentions: DataFrame, doc_col: str = "url") -> DataFrame:
     """Case-insensitive entity dedup (shard-entities/shard.py:483-520 ≡
     groupBy(lower(name), type)): mention_count, doc_count, sorted doc-id set."""
+    # doc_count derives from the collected distinct set: a separate
+    # countDistinct beside other aggregates plans an Expand (every input
+    # row duplicated per aggregate branch — double shuffle volume); the
+    # set is collected anyway, so its size IS the distinct count.
     return (
         mentions.groupBy(
             F.lower(F.col("text")).alias("name_lower"),
@@ -64,8 +68,12 @@ def aggregate_entities(mentions: DataFrame, doc_col: str = "url") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("mention_count"),
-            F.countDistinct(F.col(doc_col)).alias("doc_count"),
             F.sort_array(F.collect_set(F.col(doc_col))).alias("document_ids"),
+        )
+        .select(
+            "name_lower", "entity_type", "mention_count",
+            F.size("document_ids").cast("long").alias("doc_count"),
+            "document_ids",
         )
     )
 

@@ -138,10 +138,14 @@ def link_entities_to_events(
     reference links a list of distinct event objects); duplicate ids
     would pool their matches through the groupBy.
     """
+    from .spread import spread
+
     idx = entity_name_index(
         entities, entity_id_col, name_col, aliases_col, order_col
     )
-    ev = events.select(
+    # spread: the tokenize explode + RLIKE verify below inherit a one-task
+    # scan otherwise (single-file bench inputs); no-op at real scale
+    ev = spread(events, event_id_col).select(
         F.col(event_id_col).alias("_eid"),
         F.lower(F.col(text_col)).alias("_tl"),
     ).where(F.col("_tl").isNotNull() & (F.col("_tl") != ""))

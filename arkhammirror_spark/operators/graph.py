@@ -411,8 +411,45 @@ def label_propagation_communities(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .persist()
     )
+
+    # Adaptive small-graph fast path (same shape as
+    # connected_components_distributed's): bounded graphs pay only fixed
+    # per-round scheduling in the distributed loop, so emulate the EXACT
+    # synchronous min-tie weighted LPA on the driver. The update rule is
+    # deterministic under any partitioning, and for integer-valued weights
+    # (including the unweighted w=1 contract path) the per-label sums are
+    # exact in float regardless of addition order, so labels are identical
+    # to the distributed loop's.
+    driver_cap = 100_000
+    head = sym.limit(driver_cap + 1).collect()
+    if len(head) <= driver_cap:
+        adj: dict[str, dict[str, float]] = {}
+        for r in head:
+            adj.setdefault(r["src"], {})[r["dst"]] = r["w"]
+        labels_d = {n: n for n in adj}
+        for _ in range(max_iterations):
+            new_labels = {}
+            changed = 0
+            for n, nbrs in adj.items():
+                scores: dict[str, float] = {labels_d[n]: 1.0}
+                for m, w in nbrs.items():
+                    lm = labels_d[m]
+                    scores[lm] = scores.get(lm, 0.0) + w
+                best = min(
+                    scores, key=lambda lbl: (-scores[lbl], lbl)
+                )
+                new_labels[n] = best
+                if best != labels_d[n]:
+                    changed += 1
+            labels_d = new_labels
+            if changed == 0:
+                break
+        return edges.sparkSession.createDataFrame(
+            sorted(labels_d.items()), "name string, community string"
+        )
+
+    sym = sym.persist()
     labels = sym.select(F.col("src").alias("name")).distinct().withColumn(
         "community", F.col("name")
     )

@@ -29,7 +29,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import ParquetSnapshotCatalog
-from .operators.edges import comention_edges
 from .operators.entities import aggregate_entities, filter_valid_mentions
 from .operators.extract import extract_docs
 from .operators.spans import (
@@ -311,8 +310,23 @@ def run_pipeline(
             # document_ids arrays are opt-in: at 10^12-doc scale an unbounded
             # ARRAY_AGG per edge is a memory hazard; the (doc, entity) mapping
             # is already materialized in the mentions table.
-            tables["edges"] = comention_edges(
-                valid, min_count=min_edge_count, include_doc_ids=edge_doc_ids
+            # Edges build from the docs table's fused `_names` arrays (the
+            # sorted distinct valid lowered names the extract pass already
+            # computed): output-identical to comention_edges over the
+            # exploded valid mentions (verified equal on the full bench
+            # corpus) with one narrow explode instead of a mention-row
+            # explode + per-doc re-aggregation — half the shuffles.
+            from .operators.edges import comention_edges_from_name_sets
+
+            prior_docs = catalog.read_table(spark, "docs")
+            inc_docs = catalog.read_snapshot(spark, "docs", snapshot_id)
+            full_docs = (
+                inc_docs if prior_docs is None
+                else prior_docs.unionByName(inc_docs)
+            )
+            tables["edges"] = comention_edges_from_name_sets(
+                full_docs.where(F.col("error").isNull()),
+                min_count=min_edge_count, include_doc_ids=edge_doc_ids,
             )
             catalog.write_snapshot(tables["entities"], "entities", snapshot_id)
             catalog.write_snapshot(tables["edges"], "edges", snapshot_id)
@@ -336,10 +350,15 @@ def run_pipeline(
         }
         tables["docs"] = tables["docs"].drop(*_PRIVATE)
     elif with_spans:
+        from .operators.edges import comention_edges_from_name_sets
+
         valid = filter_valid_mentions(tables["mentions"])
         tables["entities"] = aggregate_entities(valid)
-        tables["edges"] = comention_edges(
-            valid, min_count=min_edge_count, include_doc_ids=edge_doc_ids
+        # same `_names` fast path as the catalog arm (docs_raw here is the
+        # pruned scratch-parquet read, so `_names` is a cheap column read)
+        tables["edges"] = comention_edges_from_name_sets(
+            docs_raw.where(F.col("error").isNull()),
+            min_count=min_edge_count, include_doc_ids=edge_doc_ids,
         )
 
     return PipelineResult(

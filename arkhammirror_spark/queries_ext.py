@@ -277,7 +277,7 @@ N_SIMHASH_BITS = 16  # demo width: 16 md5-derived bits (operator supports 64)
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)

@@ -2967,6 +2967,9 @@ def _ee_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ee_docs(spark, sf_dir).withColumn(
         "entities", F.array().cast("array<string>")
     )
+    # slim (doc_id, entities) lazy checkpoint: the timeline join and the
+    # stats arms each branch over this frame — without truncation the
+    # tokenize + RLIKE link pass recomputes once per branch
     return link_entities_to_events(
         docs,
         _ee_entities_df(spark),
@@ -2974,7 +2977,7 @@ def _ee_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         entity_id_col="id",
         order_col="id",
-    ).select("doc_id", "entities")
+    ).select("doc_id", "entities").localCheckpoint(eager=False)
 
 
 def _ee_items_sql() -> str:
@@ -3043,7 +3046,12 @@ def _ee_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     ev = extract_timeline_events(docs, id_col="doc_id", text_col="t")
-    return ev.join(_ee_linked(spark, sf_dir), "doc_id", "left")
+    # slim (dates + entities) lazy checkpoint — the summary arms aggregate
+    # this frame several ways; truncation keeps the nine-family timeline
+    # regex pass to one execution
+    return ev.join(
+        _ee_linked(spark, sf_dir), "doc_id", "left"
+    ).localCheckpoint(eager=False)
 
 
 def _ee_tl_sql(select: str) -> str:
