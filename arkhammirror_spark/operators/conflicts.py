@@ -378,28 +378,32 @@ def _detect_gaps_global(ev: DataFrame) -> DataFrame:
         .withColumn("_b", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    n_ev = parted.count()
+    # ONE pass for the event count and the per-partition boundary rows:
+    # max(struct(date_start, ord, …)) picks each partition's last element
+    # of the (date_start, ord) total order (ord is unique; a null
+    # date_start compares smallest, matching asc-nulls-first), so no
+    # separate count job or last-row window pass is needed.
+    info = sorted(
+        parted.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.struct("date_start", "ord", "id", "document_id")
+            ).alias("_last"),
+        ).collect(),
+        key=lambda r: r["_b"],
+    )
+    n_ev = sum(r["n"] for r in info)
     if n_ev < 3:
         return spark.createDataFrame([], _GAP_SCHEMA)
 
     wb = Window.partitionBy("_b").orderBy("date_start", "ord")
-    wlast = Window.partitionBy("_b").orderBy(
-        F.col("date_start").desc_nulls_last(), F.col("ord").desc()
-    )
-    lasts = sorted(
-        parted.withColumn("_rl", F.row_number().over(wlast))
-        .where(F.col("_rl") == 1)
-        .select("_b", "id", "date_start", "document_id")
-        .collect(),
-        key=lambda r: r["_b"],
-    )
     brows = []
     prev = None
-    for r in lasts:  # one row per NON-EMPTY partition, in range order
+    for r in info:  # one row per NON-EMPTY partition, in range order
         if prev is not None:
             brows.append(
-                (r["_b"], prev["id"], prev["date_start"],
-                 prev["document_id"])
+                (r["_b"], prev["_last"]["id"], prev["_last"]["date_start"],
+                 prev["_last"]["document_id"])
             )
         prev = r
     bdf = spark.createDataFrame(
@@ -430,41 +434,30 @@ def _detect_gaps_global(ev: DataFrame) -> DataFrame:
             F.datediff(F.col("date_start"), F.col("prev_date")).cast("long"),
         )
     )
-    g = (
-        adj.select("gap_days")
-        .repartitionByRange(nparts, "gap_days")
-        .withColumn("_gb", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # Exact median via a day-gap histogram: distinct integer day-gaps are
+    # bounded by the timeline's span in days (plus null), so the grouped
+    # counts are a bounded driver collect at ANY corpus size — one job,
+    # no second range partitioning. The pick is the k-th order statistic
+    # with nulls first (the asc-nulls-first semantics of the windowed
+    # row_number form).
+    hist = sorted(
+        ((r["gap_days"], r["n"])
+         for r in adj.groupBy("gap_days")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .collect()),
+        key=lambda t: (t[0] is not None, t[0] if t[0] is not None else 0),
     )
-    cnts = sorted(
-        (r["_gb"], r["n"])
-        for r in g.groupBy("_gb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    n_gaps = sum(n for _, n in cnts)  # no separate count pass
+    n_gaps = sum(n for _, n in hist)
     if n_gaps == 0:
         return spark.createDataFrame([], _GAP_SCHEMA)
     k = n_gaps // 2 + 1
     acc = 0
-    target = local_r = None
-    for b, cn in cnts:
+    med_val = None
+    for v, cn in hist:
         if acc + cn >= k:
-            target, local_r = b, k - acc
+            med_val = v
             break
         acc += cn
-    med_row = (
-        g.where(F.col("_gb") == target)
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("_gb").orderBy("gap_days")
-            ),
-        )
-        .where(F.col("_r") == local_r)
-        .collect()
-    )
-    med_val = med_row[0]["gap_days"]
     return _gap_select(
         adj.withColumn("median_gap", F.lit(med_val).cast("long"))
     )

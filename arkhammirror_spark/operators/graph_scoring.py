@@ -487,18 +487,38 @@ def composite_entity_scores(
         )
     )
     # Global rank over ALL scored entities without an unpartitioned
-    # row_number window (single-partition WindowExec at scale): range-
-    # partition by the rank key (distributed sort), pin the partition
-    # boundaries with an eager localCheckpoint so the per-partition counts
-    # and the final plan see the SAME assignment, then
-    # rank = (rows in earlier partitions) + row_number within partition.
-    # Keys are unique (entity_id tiebreak) so this equals the original
+    # row_number window (single-partition WindowExec at scale). The scored
+    # frame is materialized once (slim scalar columns); bounded entity
+    # sets (≤ cap) rank on the driver over collected (entity_id, score)
+    # keys — identical total order (doubles, unique entity_id tiebreak) —
+    # re-attached as a broadcast map. Larger sets take the distributed
+    # form: range-partition by the rank key (boundaries pinned by a second
+    # checkpoint so the per-partition counts and the final plan see the
+    # SAME assignment), rank = rows-in-earlier-partitions + keyed
+    # row_number. Keys are unique, so both forms equal the original
     # row_number exactly.
     spark = out.sparkSession
-    nparts = max(2, spark.sparkContext.defaultParallelism)
+    out_cols = [
+        "node_id", "entity_id", "label", "entity_type",
+        "centrality_score", "frequency_score", "recency_score",
+        "credibility_score", "corroboration_score", "composite_score",
+        "degree", "document_count", "source_count", "rank",
+    ]
     order = [F.desc("composite_score"), F.asc("entity_id")]
+    base = out.localCheckpoint(eager=True)
+    n_scored = base.count()
+    if n_scored <= 100_000:
+        keys = base.select("entity_id", "composite_score").collect()
+        keys.sort(key=lambda r: (-r["composite_score"], r["entity_id"]))
+        rank_df = spark.createDataFrame(
+            [(r["entity_id"], i + 1) for i, r in enumerate(keys)],
+            "entity_id string, rank int",
+        )
+        return base.join(F.broadcast(rank_df), "entity_id").select(*out_cols)
+
+    nparts = max(2, spark.sparkContext.defaultParallelism)
     parted = (
-        out.repartitionByRange(nparts, *order)
+        base.repartitionByRange(nparts, *order)
         .withColumn("_b", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -526,9 +546,4 @@ def composite_entity_scores(
     rank_w = Window.partitionBy("_b").orderBy(*order)
     return parted.withColumn(
         "rank", (F.row_number().over(rank_w) + off_expr).cast("int")
-    ).select(
-        "node_id", "entity_id", "label", "entity_type",
-        "centrality_score", "frequency_score", "recency_score",
-        "credibility_score", "corroboration_score", "composite_score",
-        "degree", "document_count", "source_count", "rank",
-    )
+    ).select(*out_cols)

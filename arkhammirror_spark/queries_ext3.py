@@ -3769,6 +3769,11 @@ def q_graph_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_types=["location", "event"],
         intermediate_types=["organization"],
     )
+    # slim eager checkpoints: six union branches below (enode/eflow/
+    # agg_node/agg_link/stats) would otherwise re-derive the layered joins
+    # from the comention checkpoint once per branch
+    fn = fn.localCheckpoint(eager=True)
+    fl = fl.localCheckpoint(eager=True)
     an, al = aggregate_flows(fn, fl, min_value=3.0, max_links=25)
     _, rl, _ = extract_relationship_flows(
         nodes, edges, aggregate_by_type=True

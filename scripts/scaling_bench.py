@@ -148,13 +148,17 @@ Controls quantifying the single-box artifacts (same session, this host):
    while a register-only CPU-burn control scales at ~0.91. Above ~8
    concurrent text workers the box saturates. 1→4 cores stays below the knee.
 2. **Pinned Spark ladder** (taskset core budgets; 200k pages for 1/2/8-core
-   pairs, 600k for 4/16; wall ≥ 60 s at N in the headline pair):
+   pairs, 600k for 4/16; wall ≥ 60 s at N in the headline pair). Ladder
+   rows carry their measurement day — host throughput drifts ~30% between
+   rounds, so cross-day rows are not directly comparable to the headline
+   pair above (which is what the dated headline measures):
 
-   | pair (pinned) | docs/sec N | docs/sec 4N | efficiency |
-   |---|---|---|---|
-   | local[1] → local[4]  | 754.8  | 3114.9 | 1.032 (≈ linear; small fixed overheads amortize) |
-   | local[2] → local[8]  | 1701.7 | 4750.7 | 0.698 (8 workers approach the DRAM knee) |
-   | local[4] → local[16] | 3305.9 | 8169.3 | 0.618 (fully DRAM-saturated; control ceiling ≈ 0.71–0.77) |
+   | pair (pinned) | docs/sec N | docs/sec 4N | efficiency | measured |
+   |---|---|---|---|---|
+   | local[1] → local[4]  | 754.8  | 3114.9 | 1.032 (≈ linear; small fixed overheads amortize) | 2026-08-15 |
+   | local[2] → local[8]  | 1701.7 | 4750.7 | 0.698 (8 workers approach the DRAM knee) | 2026-08-15 |
+   | local[2] → local[8]  | 1597.6 | 5313.5 | 0.831 (round-7 headline re-measurement) | 2026-08-18 |
+   | local[4] → local[16] | 3305.9 | 8169.3 | 0.618 (fully DRAM-saturated; control ceiling ≈ 0.71–0.77) | 2026-08-15 |
 
    Above the knee, Spark reaches ~0.85–0.95 of the pure-Python control's own
    scaling — the Spark-attributable overhead scales; the residual is the
