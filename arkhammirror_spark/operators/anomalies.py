@@ -71,6 +71,11 @@ def text_stat_metrics(
     (period split, empties INCLUDED — len(text.split('.')) counts dots
     + 1), avg_word_length, avg_sentence_length (words/sentences),
     char_count."""
+    from .spread import spread
+
+    # the per-doc split/aggregate lambdas below run interpreted; fan a
+    # one-task scan out first (no-op at real scale)
+    docs = spread(docs, id_col)
     words = F.filter(
         F.split(F.col(text_col), r"(?U)\s+"), lambda w: F.length(w) > 0
     )
